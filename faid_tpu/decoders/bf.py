@@ -1,0 +1,147 @@
+"""Bit-flipping post-processors: static BF, DTBF, and 2B1C-DTBF.
+
+All three operate on hard decisions in the block layout
+[batch, n_block_cols, Z] (bool) and run as a ``lax.while_loop`` whose
+carry holds the per-frame threshold machine.  The reference runs one
+machine per 32-frame SIMD group with per-lane masking
+(CDecoder_FAID.cpp:6408-7110, CDecoder_OMSBF.cpp:2959-3510,
+CDecoder_FAID_2B1C.cpp:6124-6820); here every frame is its own lane.
+
+Semantics per round (DTBF, reference CDecoder_FAID.cpp:6782-6816):
+  1. syndrome + flip votes from current hard bits; exit if clean
+  2. threshold update:   Th -= delta           where not flipped last round
+                         Th = gamma+alpha      where flipped and l0 < L0
+                         Th = gamma+alpha-d    where flipped, l0>=L0, l1<L1
+                         Th = gamma+alpha-2d   otherwise (if flipped)
+                         Th = max(Th, 1)
+  3. flip weight-gamma VNs with  votes + alpha*(hard != hard_ch) >= Th
+  4. 2B1C variant: small jumps (Th < gamma) demote reliable bits instead
+     of flipping them (CDecoder_FAID_2B1C.cpp:6801-6814)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..code.qc_matrix import QCCode
+from ..config import BFConfig
+from ..ops import syndrome as syn
+
+
+def _weight_mask(code: QCCode, gamma: int) -> jnp.ndarray:
+    """[C, Z] bool: VNs with column weight == gamma (flip-eligible)."""
+    return jnp.asarray(code.vn_weight_blocks_np == gamma)
+
+
+def run_static_bf(hard: jnp.ndarray, code: QCCode, cfg: BFConfig):
+    """Static-threshold BF (reference CDecoder_OMSBF.cpp:2969-3510):
+    flip every VN whose vote >= min(max_vote, cap).  Returns
+    (hard, rounds_used[batch])."""
+
+    def cond(carry):
+        i, hard, rounds = carry
+        return (i < cfg.max_iter) & jnp.any(
+            syn.error_count(syn.unsat_checks(hard, code)) > 0)
+
+    def body(carry):
+        i, hard, rounds = carry
+        unsat = syn.unsat_checks(hard, code)
+        count = syn.error_count(unsat)
+        dirty = count > 0
+        votes = syn.flip_votes(unsat, code)
+        # max_vote starts at 1 (CDecoder_OMSBF.cpp:2975).
+        max_vote = jnp.maximum(votes.max(axis=(1, 2)), 1)
+        thresh = jnp.minimum(max_vote, cfg.static_vote_cap)[:, None, None]
+        flip = (votes >= thresh) & dirty[:, None, None]
+        hard = jnp.logical_xor(hard, flip)
+        rounds = rounds + dirty.astype(jnp.int32)
+        return i + 1, hard, rounds
+
+    batch = hard.shape[0]
+    rounds0 = jnp.zeros((batch,), jnp.int32)
+    _, hard, rounds = jax.lax.while_loop(cond, body, (0, hard, rounds0))
+    return hard, rounds
+
+
+def _dtbf_threshold(Th, l0, l1, t, cfg: BFConfig):
+    gamma, alpha, delta = cfg.gamma, cfg.alpha, cfg.delta
+    Th = jnp.where(t, Th, Th - delta)
+    max_th = t & (l0 < cfg.l0)
+    Th = jnp.where(max_th, gamma + alpha, Th)
+    l0 = l0 + max_th.astype(jnp.int32)
+    submax = t & ~max_th & (l1 < cfg.l1)
+    Th = jnp.where(submax, gamma + alpha - delta, Th)
+    l1 = l1 + submax.astype(jnp.int32)
+    ssubmax = t & ~max_th & ~submax
+    Th = jnp.where(ssubmax, gamma + alpha - 2 * delta, Th)
+    Th = jnp.maximum(Th, 1)
+    return Th, l0, l1
+
+
+def run_dtbf(hard: jnp.ndarray, code: QCCode, cfg: BFConfig,
+             two_bit: bool = False, llr: jnp.ndarray | None = None):
+    """Dynamic-threshold BF; ``two_bit`` enables the 2B1C state machine
+    (needs ``llr`` = post-MP LLRs to seed the reliability bit).
+    Returns (hard, rounds_used[batch])."""
+    batch = hard.shape[0]
+    hard_ch = hard  # DTBF anchors on the post-MP hard decision
+    eligible = _weight_mask(code, cfg.gamma)[None]
+
+    if two_bit:
+        thr = cfg.reliability_threshold
+        hard2 = (llr >= thr) | (llr <= -thr)
+    else:
+        hard2 = jnp.zeros_like(hard)
+
+    Th0 = jnp.full((batch,), cfg.gamma, jnp.int32)
+    l0 = jnp.zeros((batch,), jnp.int32)
+    l1 = jnp.zeros((batch,), jnp.int32)
+    t0 = jnp.ones((batch,), jnp.bool_)
+    rounds0 = jnp.zeros((batch,), jnp.int32)
+
+    def cond(carry):
+        i, hard, hard2, Th, l0, l1, t, rounds = carry
+        return (i < cfg.max_iter) & jnp.any(
+            syn.error_count(syn.unsat_checks(hard, code)) > 0)
+
+    def body(carry):
+        i, hard, hard2, Th, l0, l1, t, rounds = carry
+        unsat = syn.unsat_checks(hard, code)
+        count = syn.error_count(unsat)
+        dirty = count > 0
+        votes = syn.flip_votes(unsat, code)
+
+        Th2, l0n, l1n = _dtbf_threshold(Th, l0, l1, t, cfg)
+
+        disagree = jnp.logical_xor(hard, hard_ch)
+        score = votes + cfg.alpha * disagree.astype(jnp.int32)
+        flip = eligible & (score >= Th2[:, None, None]) & dirty[:, None, None]
+
+        if two_bit:
+            big = (Th2 >= cfg.gamma)[:, None, None]
+            xor3 = big & flip
+            hard_n = jnp.logical_xor(hard, xor3)
+            hard2_n = jnp.logical_xor(hard2, xor3)
+            small = ~big & flip
+            hard_n = jnp.logical_xor(hard_n, small & ~hard2_n)
+            hard2_n = jnp.logical_xor(hard2_n, small & hard2_n)
+        else:
+            hard_n = jnp.logical_xor(hard, flip)
+            hard2_n = hard2
+
+        t_n = jnp.any(flip, axis=(1, 2))
+        # Frozen (already clean) frames keep their state.
+        keep = dirty
+        hard_n = jnp.where(keep[:, None, None], hard_n, hard)
+        hard2_n = jnp.where(keep[:, None, None], hard2_n, hard2)
+        Th_n = jnp.where(keep, Th2, Th)
+        l0_n = jnp.where(keep, l0n, l0)
+        l1_n = jnp.where(keep, l1n, l1)
+        t_n = jnp.where(keep, t_n, t)
+        rounds = rounds + keep.astype(jnp.int32)
+        return i + 1, hard_n, hard2_n, Th_n, l0_n, l1_n, t_n, rounds
+
+    carry = (0, hard, hard2, Th0, l0, l1, t0, rounds0)
+    _, hard, _, _, _, _, _, rounds = jax.lax.while_loop(cond, body, carry)
+    return hard, rounds

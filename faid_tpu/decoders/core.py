@@ -1,0 +1,162 @@
+"""Decoder assembly: LLR ingest -> layered MP iterations -> BF post-processor.
+
+One function covers all six reference decode methods; the differences are
+data (config + LUTs), not code paths:
+
+  NMS        (reference CLDPC.cpp:214)            style=nms,  no early stop
+  OMS        (CDecoder_OMS.cpp:13)                style=oms,  selective mode
+  FAID+DTBF  (CDecoder_FAID.cpp:176)              style=faid, DTBF(10)
+  OMS+BF     (CDecoder_OMSBF.cpp:12)              style=oms,  static BF(50)
+  OMS+DTBF   (CDecoder_OMS_DTBF.cpp:17)           style=oms,  DTBF(50)
+  FAID-2B1C  (CDecoder_FAID_2B1C.cpp:96)          style=faid, 2B1C-DTBF(10)
+
+Early-stop semantics: the reference checks the syndrome at the top of each
+iteration and breaks when all 32 SIMD lanes are clean.  Here every frame
+is independent: a frame whose syndrome is clean at an iteration top is
+frozen (no further updates), which is the group-size-1 limit of the
+reference rule.  The MP loop is a ``lax.while_loop`` that exits as soon as
+every frame in the batch is clean.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..code.qc_matrix import QCCode
+from ..config import DecodeMethod, DecoderConfig
+from ..ops import cn_update, syndrome as syn
+from ..ops import fixed_point as fp
+from . import bf as bf_mod
+from . import luts
+
+# The reference zeroes the last 384 channel LLRs before decoding - the
+# de-facto punctured tail (CLDPC.cpp:270-272); rate 14592/17280.
+PUNCTURE_TAIL = 384
+
+
+def _style_for(method: DecodeMethod) -> str:
+    if method == DecodeMethod.NMS:
+        return "nms"
+    if method in (DecodeMethod.OMS, DecodeMethod.OMS_BF, DecodeMethod.OMS_DTBF):
+        return "oms"
+    return "faid"
+
+
+def ingest_llrs(llr: jnp.ndarray, code: QCCode,
+                puncture_tail: int = PUNCTURE_TAIL) -> jnp.ndarray:
+    """[batch, n_var] int8 -> block layout [batch, C, Z] with the
+    punctured tail zeroed."""
+    if puncture_tail:
+        llr = llr.at[:, llr.shape[1] - puncture_tail:].set(0)
+    return llr.reshape(llr.shape[0], code.n_block_cols, code.z)
+
+
+def build_decoder(code: QCCode, dcfg: DecoderConfig):
+    """Returns decode(llr[batch, n_var] int8) ->
+    dict(hard[batch, n_var] bool, mp_iters[batch], bf_rounds[batch])."""
+    style = _style_for(dcfg.method)
+    needs_sweep = dcfg.stop_early
+    needs_votes = style == "faid" and dcfg.ef_elimination == 2
+
+    lut = lut_ef = None
+    if style == "faid":
+        lut = jnp.asarray(luts.table_for(dcfg.lut_family, dcfg.max_iter))
+        if dcfg.ef_elimination >= 1:
+            lut_ef = jnp.asarray(luts.ef_table(dcfg.max_iter))
+
+    row_updates = [
+        cn_update.make_block_row_update(
+            code, r, style=style,
+            factor_1=dcfg.factor_1, factor_2=dcfg.factor_2,
+            oms_mode=dcfg.oms_mode, oms_offset=dcfg.oms_offset,
+            lut=lut, lut_ef=lut_ef, sign_backtrack=dcfg.sign_backtrack,
+            ef_elimination=dcfg.ef_elimination)
+        for r in range(code.n_block_rows)
+    ]
+    entry_offsets = np.concatenate([[0], np.cumsum(code.degrees_np)])
+
+    def one_iteration(it, en, msgs, era):
+        """Full layered update of all block-rows; returns new (en, msgs, era)."""
+        if needs_sweep:
+            unsat = syn.unsat_checks(syn.hard_decision(en), code)
+            count = syn.error_count(unsat)
+            active = count > 0
+            l_m_err = count < dcfg.floor_err_count
+            votes = syn.flip_votes(unsat, code) if needs_votes else None
+        else:
+            unsat = None
+            active = jnp.ones((en.shape[0],), jnp.bool_)
+            l_m_err = jnp.zeros((en.shape[0],), jnp.bool_)
+            votes = None
+        remaining = dcfg.max_iter - 1 - it
+        in_floor = jnp.asarray(remaining <= dcfg.floor_iter_thresh)
+
+        en_new, msgs_new = en, msgs
+        era_new = era
+        for r in range(code.n_block_rows):
+            lo, hi = int(entry_offsets[r]), int(entry_offsets[r + 1])
+            ctx = cn_update.RowCtx(
+                it=it, in_floor=in_floor,
+                l_checksum=(unsat[:, r, :] if unsat is not None else None),
+                l_m_error_sum=l_m_err, votes=votes, era=era_new)
+            en_new, m_r, era_new = row_updates[r](en_new, msgs_new[:, lo:hi, :], ctx)
+            msgs_new = msgs_new.at[:, lo:hi, :].set(m_r)
+
+        # Freeze frames that were already clean at the iteration top.
+        if needs_sweep:
+            a3 = active[:, None, None]
+            en_new = jnp.where(a3, en_new, en)
+            msgs_new = jnp.where(a3, msgs_new, msgs)
+            if needs_votes:
+                era_new = jnp.where(a3, era_new, era)
+        return en_new, msgs_new, era_new, active
+
+    n_entries = int(entry_offsets[-1])
+
+    def decode(llr: jnp.ndarray):
+        batch = llr.shape[0]
+        en = ingest_llrs(llr, code)
+        msgs = jnp.zeros((batch, n_entries, code.z), jnp.int8)
+        era = (jnp.zeros((batch, code.n_block_cols, code.z), jnp.bool_)
+               if needs_votes else jnp.zeros((1,), jnp.bool_))
+        mp_iters = jnp.zeros((batch,), jnp.int32)
+
+        def cond(carry):
+            it, en, msgs, era, alive, mp_iters = carry
+            return (it < dcfg.max_iter) & alive
+
+        def body(carry):
+            it, en, msgs, era, alive, mp_iters = carry
+            en, msgs, era, active = one_iteration(it, en, msgs, era)
+            mp_iters = mp_iters + active.astype(jnp.int32)
+            return it + 1, en, msgs, era, jnp.any(active), mp_iters
+
+        carry = (jnp.int32(0), en, msgs, era, jnp.bool_(True), mp_iters)
+        _, en, msgs, era, _, mp_iters = jax.lax.while_loop(cond, body, carry)
+
+        hard = syn.hard_decision(en)
+        bf_rounds = jnp.zeros((batch,), jnp.int32)
+        kind = dcfg.bf.kind
+        if kind == "static":
+            hard, bf_rounds = bf_mod.run_static_bf(hard, code, dcfg.bf)
+        elif kind == "dtbf":
+            hard, bf_rounds = bf_mod.run_dtbf(hard, code, dcfg.bf)
+        elif kind == "dtbf2b1c":
+            hard, bf_rounds = bf_mod.run_dtbf(hard, code, dcfg.bf,
+                                              two_bit=True, llr=en)
+        return {
+            "hard": hard.reshape(batch, code.n_var),
+            "mp_iters": mp_iters,
+            "bf_rounds": bf_rounds,
+        }
+
+    return decode
+
+
+@functools.lru_cache(maxsize=16)
+def cached_decoder(code: QCCode, dcfg: DecoderConfig):
+    return build_decoder(code, dcfg)
