@@ -1,0 +1,121 @@
+"""Command-line driver: the TPU equivalent of the reference's ``main()``
+(reference main.cpp:17-231).
+
+    python -m faid_tpu.cli --profile Profile.txt --out results/
+    python -m faid_tpu.cli --snr-start 3 --snr-end 5 --method 2 ...
+
+Reads a Profile.txt (or flag overrides), sweeps SNR with the reference's
+stopping rule, prints a live progress row per step (main.cpp:212-213),
+and writes Result.txt / demod.txt / checkpoint.json into --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from pathlib import Path
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="faid_tpu",
+                                 description=__doc__.split("\n")[0])
+    ap.add_argument("--profile", type=str, default=None,
+                    help="reference-format Profile.txt to load")
+    ap.add_argument("--out", type=str, default="results")
+    ap.add_argument("--snr-start", type=float)
+    ap.add_argument("--snr-pass", type=float)
+    ap.add_argument("--snr-end", type=float)
+    ap.add_argument("--method", type=int, choices=range(6))
+    ap.add_argument("--max-iter", type=int)
+    ap.add_argument("--mod-type", type=int, choices=[1, 2, 4, 6, 8])
+    ap.add_argument("--interleave", type=int)
+    ap.add_argument("--factor1", type=int)
+    ap.add_argument("--factor2", type=int)
+    ap.add_argument("--scale", type=float)
+    ap.add_argument("--seed", type=int)
+    ap.add_argument("--batch", type=int, help="frames per device per step")
+    ap.add_argument("--min-frames", type=int)
+    ap.add_argument("--min-frame-errors", type=int)
+    ap.add_argument("--fake-encode", action="store_true",
+                    help="all-zero codeword path (reference FAKE_ENCODE)")
+    ap.add_argument("--max-rounds", type=int, default=100000,
+                    help="safety cap on MC rounds per SNR point")
+    ap.add_argument("--quiet", action="store_true")
+    return ap
+
+
+def config_from_args(args) -> "SimConfig":
+    from .config import DecodeMethod, SimConfig
+    from .utils.profile import parse_profile
+
+    if args.profile:
+        try:
+            cfg = parse_profile(args.profile)
+        except FileNotFoundError:
+            # Reference prints "Cannot open Profile" (CTool.cpp:591).
+            raise SystemExit(f"faid_tpu: cannot open profile: {args.profile}")
+        except (StopIteration, ValueError) as e:
+            raise SystemExit(
+                f"faid_tpu: malformed profile {args.profile}: {e!r}")
+    else:
+        cfg = SimConfig()
+    over = {}
+    amap = {
+        "snr_start": args.snr_start, "snr_pass": args.snr_pass,
+        "snr_end": args.snr_end, "max_iteration": args.max_iter,
+        "mod_type": args.mod_type, "interleave_depth": args.interleave,
+        "factor_1": args.factor1, "factor_2": args.factor2,
+        "scale": args.scale, "seed": args.seed,
+        "batch_per_device": args.batch, "min_frames": args.min_frames,
+        "min_frame_errors": args.min_frame_errors,
+    }
+    for k, v in amap.items():
+        if v is not None:
+            over[k] = v
+    if args.method is not None:
+        over["decode_method"] = DecodeMethod(args.method)
+    if args.fake_encode:
+        over["fake_encode"] = True
+    return dataclasses.replace(cfg, **over)
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    from .sim.runner import MonteCarloRunner
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    runner = MonteCarloRunner(cfg, checkpoint_path=out / "checkpoint.json",
+                              max_rounds_per_snr=args.max_rounds)
+
+    def progress(snr_db, c):
+        if args.quiet:
+            return
+        tf = max(c["test_frames"], 1)
+        sys.stdout.write(
+            f"\rSNR {snr_db:5.2f}  frames {c['test_frames']:>9}  "
+            f"errFrames {c['error_frames']:>6}  errBits {c['error_bits']:>9}  "
+            f"FER {c['error_frames'] / tf:.3e}")
+        sys.stdout.flush()
+
+    runner.run(progress=progress)
+    if not args.quiet:
+        sys.stdout.write("\n")
+
+    runner.write_result_txt(out / "Result.txt")
+    runner.write_demod_txt(out / "demod.txt")
+    for row in runner.report_rows():
+        print(f"SNR {row['snr_db']:.2f}  FER {row['fer']:.4e}  "
+              f"BER {row['ber']:.4e}  frames {row['test_frames']}  "
+              f"time {row['seconds']:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

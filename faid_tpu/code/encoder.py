@@ -76,6 +76,8 @@ def solve_parity_projection(h: np.ndarray, n_info: int) -> np.ndarray:
 
 def encoder_matrix(code: QCCode, cache: bool = True) -> np.ndarray:
     """[n_chk, n_info] uint8 parity projection matrix, cached on disk."""
+    if code.name.startswith("toy_"):
+        cache = False  # synthetic test codes are cheap to recompute
     path = _CACHE / f"{code.name}_encoder.npz"
     if cache and path.exists():
         return np.load(path)["p"]

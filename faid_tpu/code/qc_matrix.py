@@ -33,6 +33,10 @@ class QCCode:
     shifts: tuple               # same shape as block_cols
     degrees: tuple              # CN degree per block-row
     vn_weight_key: str = "50gpon"   # lookup key for cached numpy arrays
+    # Channel LLRs of the last `puncture_tail` VNs are zeroed before
+    # decoding (the reference's de-facto punctured tail, CLDPC.cpp:270-272;
+    # 384 for 50G-PON, making the effective rate 14592/17280).
+    puncture_tail: int = 0
 
     # -- derived sizes ------------------------------------------------------
     @property
@@ -120,4 +124,5 @@ def load_code(name: str = "50gpon") -> QCCode:
         block_cols=tuple(tuple(int(x) for x in row) for row in d["block_cols"]),
         shifts=tuple(tuple(int(x) for x in row) for row in d["shifts"]),
         degrees=tuple(int(x) for x in d["degrees"]),
+        puncture_tail=384 if name == "50gpon" else 0,
     )

@@ -147,6 +147,13 @@ class SimConfig:
             return self.rate_override
         return 14592.0 / 17280.0
 
+    def file_name_key(self) -> str:
+        """Map the Profile.txt matrix name to our code-data key."""
+        name = self.file_name.lower()
+        if "50gpon" in name or "50g" in name:
+            return "50gpon"
+        return name
+
     def decoder(self) -> DecoderConfig:
         return DecoderConfig.for_method(
             self.decode_method, self.max_iteration, self.factor_1, self.factor_2)

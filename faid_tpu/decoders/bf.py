@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..code.qc_matrix import QCCode
 from ..config import BFConfig
 from ..ops import syndrome as syn
+from ..utils import vma
 
 
 def _weight_mask(code: QCCode, gamma: int) -> jnp.ndarray:
@@ -58,8 +59,7 @@ def run_static_bf(hard: jnp.ndarray, code: QCCode, cfg: BFConfig):
         rounds = rounds + dirty.astype(jnp.int32)
         return i + 1, hard, rounds
 
-    batch = hard.shape[0]
-    rounds0 = jnp.zeros((batch,), jnp.int32)
+    rounds0 = vma.batch_zeros(hard, jnp.int32)
     _, hard, rounds = jax.lax.while_loop(cond, body, (0, hard, rounds0))
     return hard, rounds
 
@@ -92,13 +92,14 @@ def run_dtbf(hard: jnp.ndarray, code: QCCode, cfg: BFConfig,
         thr = cfg.reliability_threshold
         hard2 = (llr >= thr) | (llr <= -thr)
     else:
-        hard2 = jnp.zeros_like(hard)
+        hard2 = hard & False  # zeros, but inherits hard's vma type
 
-    Th0 = jnp.full((batch,), cfg.gamma, jnp.int32)
-    l0 = jnp.zeros((batch,), jnp.int32)
-    l1 = jnp.zeros((batch,), jnp.int32)
-    t0 = jnp.ones((batch,), jnp.bool_)
-    rounds0 = jnp.zeros((batch,), jnp.int32)
+    z32 = vma.batch_zeros(hard, jnp.int32)
+    Th0 = z32 + cfg.gamma
+    l0 = z32
+    l1 = z32
+    t0 = z32 == 0
+    rounds0 = z32
 
     def cond(carry):
         i, hard, hard2, Th, l0, l1, t, rounds = carry

@@ -32,11 +32,7 @@ from ..ops import cn_update, syndrome as syn
 from ..ops import fixed_point as fp
 from . import bf as bf_mod
 from . import luts
-
-# The reference zeroes the last 384 channel LLRs before decoding - the
-# de-facto punctured tail (CLDPC.cpp:270-272); rate 14592/17280.
-PUNCTURE_TAIL = 384
-
+from ..utils import vma
 
 def _style_for(method: DecodeMethod) -> str:
     if method == DecodeMethod.NMS:
@@ -46,18 +42,26 @@ def _style_for(method: DecodeMethod) -> str:
     return "faid"
 
 
-def ingest_llrs(llr: jnp.ndarray, code: QCCode,
-                puncture_tail: int = PUNCTURE_TAIL) -> jnp.ndarray:
-    """[batch, n_var] int8 -> block layout [batch, C, Z] with the
-    punctured tail zeroed."""
-    if puncture_tail:
-        llr = llr.at[:, llr.shape[1] - puncture_tail:].set(0)
+def ingest_llrs(llr: jnp.ndarray, code: QCCode) -> jnp.ndarray:
+    """[batch, n_var] int8 -> block layout [batch, C, Z] with the code's
+    punctured tail zeroed (reference CLDPC.cpp:270-272)."""
+    if code.puncture_tail:
+        llr = llr.at[:, llr.shape[1] - code.puncture_tail:].set(0)
     return llr.reshape(llr.shape[0], code.n_block_cols, code.z)
 
 
-def build_decoder(code: QCCode, dcfg: DecoderConfig):
+def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
+                  interpret: bool = False, pallas_bt: int = 32):
     """Returns decode(llr[batch, n_var] int8) ->
-    dict(hard[batch, n_var] bool, mp_iters[batch], bf_rounds[batch])."""
+    dict(hard[batch, n_var] bool, mp_iters[batch], bf_rounds[batch]).
+
+    backend: 'xla' (dense jnp ops) or 'pallas' (fused VMEM-resident MP
+    kernel, ops/pallas_decoder.py; bit-identical, TPU only unless
+    ``interpret``).  The BF post-processors always run as jnp - they are
+    batch-masked while_loops that early-exit, not per-iteration sweeps.
+    """
+    if backend == "pallas":
+        return _build_pallas_decoder(code, dcfg, interpret, pallas_bt)
     style = _style_for(dcfg.method)
     needs_sweep = dcfg.stop_early
     needs_votes = style == "faid" and dcfg.ef_elimination == 2
@@ -120,10 +124,14 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig):
     def decode(llr: jnp.ndarray):
         batch = llr.shape[0]
         en = ingest_llrs(llr, code)
-        msgs = jnp.zeros((batch, n_entries, code.z), jnp.int8)
-        era = (jnp.zeros((batch, code.n_block_cols, code.z), jnp.bool_)
+        # Initial carries derive from `en` so they typecheck as
+        # device-varying under shard_map (utils/vma.py).
+        z8 = vma.batch_zeros(en, jnp.int8)
+        msgs = jnp.zeros((batch, n_entries, code.z), jnp.int8) + z8[:, None, None]
+        era = ((jnp.zeros((batch, code.n_block_cols, code.z), jnp.bool_)
+                | (z8 != 0)[:, None, None])
                if needs_votes else jnp.zeros((1,), jnp.bool_))
-        mp_iters = jnp.zeros((batch,), jnp.int32)
+        mp_iters = vma.batch_zeros(en, jnp.int32)
 
         def cond(carry):
             it, en, msgs, era, alive, mp_iters = carry
@@ -135,7 +143,7 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig):
             mp_iters = mp_iters + active.astype(jnp.int32)
             return it + 1, en, msgs, era, jnp.any(active), mp_iters
 
-        carry = (jnp.int32(0), en, msgs, era, jnp.bool_(True), mp_iters)
+        carry = (jnp.int32(0), en, msgs, era, mp_iters.sum() == 0, mp_iters)
         _, en, msgs, era, _, mp_iters = jax.lax.while_loop(cond, body, carry)
 
         hard = syn.hard_decision(en)
@@ -157,6 +165,38 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig):
     return decode
 
 
+def _build_pallas_decoder(code: QCCode, dcfg: DecoderConfig,
+                          interpret: bool, bt: int):
+    from ..ops import pallas_decoder as pk
+
+    if not pk.supports(dcfg):
+        raise ValueError(
+            f"pallas backend does not support this config: {dcfg}")
+
+    def decode(llr: jnp.ndarray):
+        batch = llr.shape[0]
+        blocks = ingest_llrs(llr, code)
+        en, mp_iters = pk.decode_mp_pallas(blocks, code, dcfg, bt=bt,
+                                           interpret=interpret)
+        hard = syn.hard_decision(en)
+        bf_rounds = jnp.zeros((batch,), jnp.int32)
+        kind = dcfg.bf.kind
+        if kind == "static":
+            hard, bf_rounds = bf_mod.run_static_bf(hard, code, dcfg.bf)
+        elif kind == "dtbf":
+            hard, bf_rounds = bf_mod.run_dtbf(hard, code, dcfg.bf)
+        elif kind == "dtbf2b1c":
+            hard, bf_rounds = bf_mod.run_dtbf(hard, code, dcfg.bf,
+                                              two_bit=True, llr=en)
+        return {
+            "hard": hard.reshape(batch, code.n_var),
+            "mp_iters": mp_iters,
+            "bf_rounds": bf_rounds,
+        }
+
+    return decode
+
+
 @functools.lru_cache(maxsize=16)
-def cached_decoder(code: QCCode, dcfg: DecoderConfig):
-    return build_decoder(code, dcfg)
+def cached_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla"):
+    return build_decoder(code, dcfg, backend=backend)

@@ -29,7 +29,6 @@ from ..decoders import luts
 
 SAT_POS_VAR, SAT_NEG_VAR = 31, -31
 SAT_POS_MSG = 7
-PUNCTURE_TAIL = 384
 
 
 def _rows(code: QCCode):
@@ -70,7 +69,8 @@ def decode_golden(llr: np.ndarray, code: QCCode, dcfg: DecoderConfig):
     style = ("nms" if dcfg.method.value == 0
              else "oms" if dcfg.method.value in (1, 3, 4) else "faid")
     en = llr.astype(np.int32).copy()
-    en[code.n_var - PUNCTURE_TAIL:] = 0
+    if code.puncture_tail:
+        en[code.n_var - code.puncture_tail:] = 0
     msgs = np.zeros(code.n_edges, dtype=np.int32)
     vn_weight = code.vn_weight_np
 

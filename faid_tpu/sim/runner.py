@@ -1,0 +1,188 @@
+"""Monte-Carlo SNR-sweep runner: the TPU equivalent of the reference's
+``main()`` driver (reference main.cpp:17-231).
+
+Per SNR point it repeats sharded simulation steps until the reference's
+stopping rule holds (>= min_frames AND >= min_frame_errors, reference
+main.cpp:164, 209-211), then emits one result row.  Rows match the
+``Result.txt`` schema (main.cpp:117-119, 220-223) plus the ``demod.txt``
+columns (main.cpp:224-226).
+
+Checkpoint/resume: instead of the reference's RNG-seed dump into Temp.txt
+(main.cpp:200-207, CONTINUE_SEED), state is a JSON snapshot of
+``(seed, per-SNR counters, round index)``; resume is exact because every
+step's noise is a pure function of ``fold_in(seed, snr_idx, round, device)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from ..code.qc_matrix import QCCode, load_code
+from ..config import SimConfig
+from ..parallel import mesh as mesh_mod
+
+COUNTER_KEYS = (
+    "test_frames", "error_bits", "error_frames", "lt3_frames",
+    "mod_error_bits", "mod_error_symbols", "mod_error_frames",
+    "mp_iters", "bf_rounds",
+)
+
+
+@dataclasses.dataclass
+class SnrResult:
+    snr_db: float
+    counters: dict
+    seconds: float
+
+    @property
+    def n_info_total(self):
+        return self._n_info_total
+
+    def rates(self, n_info: int, mod_type: int) -> dict:
+        c = self.counters
+        tf = max(c["test_frames"], 1)
+        # The reference floors error counts at 1 when computing the rate
+        # ("assume one is wrong", main.cpp:186-188).
+        ber = max(c["error_bits"], 1) / (tf * n_info)
+        fer = max(c["error_frames"], 1) / tf
+        return {
+            "snr_db": self.snr_db,
+            "test_frames": c["test_frames"],
+            "error_frames": c["error_frames"],
+            "error_bits": c["error_bits"],
+            "fer": fer,
+            "ber": ber,
+            "lt3_frames": c["lt3_frames"],
+            "mod_ber": c["mod_error_bits"] / (tf * n_info),
+            "mod_ser": c["mod_error_symbols"] / (tf * n_info / mod_type),
+            "mod_fer": c["mod_error_frames"] / tf,
+            "avg_mp_iters": c["mp_iters"] / tf,
+            "avg_bf_rounds": c["bf_rounds"] / tf,
+            "seconds": self.seconds,
+        }
+
+
+def snr_points(cfg: SimConfig) -> list[float]:
+    """[start, end) by pass, matching the reference's float loop
+    (main.cpp:136)."""
+    pts = []
+    snr = cfg.snr_start
+    while snr < cfg.snr_end - 1e-9:
+        pts.append(round(snr, 6))
+        snr += cfg.snr_pass
+    return pts
+
+
+class MonteCarloRunner:
+    """Drives the sharded sim step over an SNR sweep with checkpointing."""
+
+    def __init__(self, cfg: SimConfig, code: QCCode | None = None,
+                 mesh=None, checkpoint_path: str | Path | None = None,
+                 max_rounds_per_snr: int = 100000):
+        self.cfg = cfg
+        self.code = code if code is not None else load_code(cfg.file_name_key())
+        self.mesh = mesh if mesh is not None else mesh_mod.make_mesh()
+        self.step = mesh_mod.build_sharded_sim_step(self.code, cfg, self.mesh)
+        self.checkpoint_path = Path(checkpoint_path) if checkpoint_path else None
+        self.max_rounds_per_snr = max_rounds_per_snr
+        self.results: list[SnrResult] = []
+        self._state = {"snr_idx": 0, "round": 0,
+                       "counters": {k: 0 for k in COUNTER_KEYS},
+                       "done": []}
+        if self.checkpoint_path and self.checkpoint_path.exists():
+            self._load_checkpoint()
+
+    # -- checkpointing ------------------------------------------------------
+    def _load_checkpoint(self):
+        st = json.loads(self.checkpoint_path.read_text())
+        if st.get("seed") != self.cfg.seed:
+            return  # different experiment; start fresh
+        self._state = st["state"]
+        self.results = [SnrResult(r["snr_db"], r["counters"], r["seconds"])
+                        for r in st["results"]]
+
+    def _save_checkpoint(self):
+        if not self.checkpoint_path:
+            return
+        st = {"seed": self.cfg.seed, "state": self._state,
+              "results": [dataclasses.asdict(r) for r in self.results]}
+        tmp = self.checkpoint_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(st))
+        tmp.replace(self.checkpoint_path)
+
+    # -- core loop ----------------------------------------------------------
+    def _stop_satisfied(self, c: dict) -> bool:
+        return (c["test_frames"] >= self.cfg.min_frames
+                and c["error_frames"] >= self.cfg.min_frame_errors)
+
+    def run_snr(self, snr_idx: int, snr_db: float,
+                progress=None) -> SnrResult:
+        cfg = self.cfg
+        sigma = jnp.float32(cfg.sigma_at(snr_db))
+        base = jax.random.fold_in(jax.random.key(cfg.seed), snr_idx)
+        c = self._state["counters"]
+        t0 = time.monotonic()
+        rnd = self._state["round"]
+        while not self._stop_satisfied(c) and rnd < self.max_rounds_per_snr:
+            key = jax.random.fold_in(base, rnd)
+            stats = jax.tree.map(int, self.step(key, sigma))
+            for k in COUNTER_KEYS:
+                c[k] += stats[k]
+            rnd += 1
+            self._state["round"] = rnd
+            if progress:
+                progress(snr_db, dict(c))
+            if rnd % 50 == 0:
+                self._save_checkpoint()
+        seconds = time.monotonic() - t0
+        return SnrResult(snr_db, dict(c), seconds)
+
+    def run(self, progress=None) -> list[SnrResult]:
+        pts = snr_points(self.cfg)
+        while self._state["snr_idx"] < len(pts):
+            i = self._state["snr_idx"]
+            res = self.run_snr(i, pts[i], progress)
+            self.results.append(res)
+            self._state["snr_idx"] = i + 1
+            self._state["round"] = 0
+            self._state["counters"] = {k: 0 for k in COUNTER_KEYS}
+            self._save_checkpoint()
+            # Early sweep exit once the channel is clean enough that the
+            # frame-error target can no longer be hit in reasonable time is
+            # the caller's policy; the reference always runs the full sweep.
+        return self.results
+
+    # -- reporting ----------------------------------------------------------
+    def report_rows(self) -> list[dict]:
+        return [r.rates(self.code.n_info, self.cfg.mod_type)
+                for r in self.results]
+
+    def write_result_txt(self, path: str | Path):
+        """Result.txt-compatible table (reference main.cpp:117-119)."""
+        rows = self.report_rows()
+        hdr = (f"{'SNR':>6} {'TestFrame':>10} {'ErrorFrame':>10} "
+               f"{'ErrorBits':>10} {'FER':>12} {'BER':>12} "
+               f"{'LT3ErrBitFrame':>14} {'Time(s)':>9}\n")
+        lines = [hdr]
+        for r in rows:
+            lines.append(
+                f"{r['snr_db']:>6.2f} {r['test_frames']:>10d} "
+                f"{r['error_frames']:>10d} {r['error_bits']:>10d} "
+                f"{r['fer']:>12.4e} {r['ber']:>12.4e} "
+                f"{r['lt3_frames']:>14d} {r['seconds']:>9.2f}\n")
+        Path(path).write_text("".join(lines))
+
+    def write_demod_txt(self, path: str | Path):
+        """demod.txt-compatible table (reference main.cpp:224-226)."""
+        rows = self.report_rows()
+        lines = [f"{'SNR':>6} {'ModFER':>12} {'ModBER':>12} {'ModSER':>12}\n"]
+        for r in rows:
+            lines.append(f"{r['snr_db']:>6.2f} {r['mod_fer']:>12.4e} "
+                         f"{r['mod_ber']:>12.4e} {r['mod_ser']:>12.4e}\n")
+        Path(path).write_text("".join(lines))

@@ -1,0 +1,138 @@
+"""End-to-end simulation pipeline + sharded runner tests on the 8-device
+virtual CPU mesh (SURVEY.md §4 'multi-device tests on CPU jax')."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from faid_tpu.code.toy import toy_code
+from faid_tpu.config import DecodeMethod, SimConfig
+from faid_tpu.parallel import mesh as mesh_mod
+from faid_tpu.sim.pipeline import build_sim_step
+from faid_tpu.sim.runner import MonteCarloRunner, snr_points
+
+
+@pytest.fixture(scope="module")
+def tcode():
+    return toy_code()
+
+
+def tiny_cfg(**kw):
+    base = dict(decode_method=DecodeMethod.FAID_DTBF, max_iteration=2,
+                mod_type=2, batch_per_device=4, seed=7,
+                min_frames=8, min_frame_errors=1)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_sim_step_high_snr_zero_errors(tcode):
+    cfg = tiny_cfg(fake_encode=True)
+    step = jax.jit(build_sim_step(tcode, cfg))
+    key = jax.random.key(0)
+    out = jax.tree.map(int, step(key, jnp.float32(cfg.sigma_at(8.0))))
+    assert out["test_frames"] == 4
+    assert out["error_frames"] == 0
+    assert out["error_bits"] == 0
+
+
+def test_sim_step_low_snr_errors(tcode):
+    cfg = tiny_cfg(fake_encode=True)
+    step = jax.jit(build_sim_step(tcode, cfg))
+    out = jax.tree.map(int, step(jax.random.key(0),
+                                 jnp.float32(cfg.sigma_at(-8.0))))
+    assert out["error_frames"] == 4
+    assert out["mod_error_bits"] > 0
+
+
+def test_sim_step_real_encoder(code):
+    cfg = tiny_cfg(fake_encode=False)
+    step = jax.jit(build_sim_step(code, cfg))
+    out = jax.tree.map(int, step(jax.random.key(1),
+                                 jnp.float32(cfg.sigma_at(8.0))))
+    assert out["error_frames"] == 0
+
+
+@pytest.mark.parametrize("mod_type", [1, 2, 4, 6, 8])
+def test_sim_step_all_modulations(tcode, mod_type):
+    cfg = tiny_cfg(fake_encode=True, mod_type=mod_type, interleave_depth=2)
+    step = jax.jit(build_sim_step(tcode, cfg))
+    # Higher-order constellations need proportionally more Eb/N0 for a
+    # clean channel (256QAM min-distance ~0.153 vs QPSK ~1.41).
+    snr = {1: 8.0, 2: 8.0, 4: 12.0, 6: 16.0, 8: 20.0}[mod_type]
+    out = jax.tree.map(int, step(jax.random.key(2),
+                                 jnp.float32(cfg.sigma_at(snr))))
+    assert out["error_frames"] == 0
+
+
+def test_sharded_step_matches_device_count(tcode):
+    mesh = mesh_mod.make_mesh()
+    assert mesh.size == 8  # conftest forces 8 virtual devices
+    cfg = tiny_cfg(fake_encode=True, batch_per_device=2)
+    step = mesh_mod.build_sharded_sim_step(tcode, cfg, mesh)
+    out = jax.tree.map(int, step(jax.random.key(0),
+                                 jnp.float32(cfg.sigma_at(8.0))))
+    assert out["test_frames"] == 2 * 8
+    assert out["error_frames"] == 0
+
+
+def test_sharded_determinism(tcode):
+    mesh = mesh_mod.make_mesh()
+    cfg = tiny_cfg(fake_encode=True, batch_per_device=2)
+    step = mesh_mod.build_sharded_sim_step(tcode, cfg, mesh)
+    sig = jnp.float32(cfg.sigma_at(1.0))
+    a = jax.tree.map(int, step(jax.random.key(3), sig))
+    b = jax.tree.map(int, step(jax.random.key(3), sig))
+    assert a == b
+    c = jax.tree.map(int, step(jax.random.key(4), sig))
+    assert a != c  # different key -> different noise
+
+
+def test_snr_points():
+    cfg = tiny_cfg(snr_start=3.0, snr_pass=0.5, snr_end=5.0)
+    assert snr_points(cfg) == [3.0, 3.5, 4.0, 4.5]
+
+
+def test_runner_stopping_rule_and_report(tcode, tmp_path):
+    cfg = tiny_cfg(fake_encode=True, batch_per_device=1,
+                   snr_start=8.0, snr_pass=1.0, snr_end=9.0,
+                   min_frames=16, min_frame_errors=0)
+    r = MonteCarloRunner(cfg, code=tcode,
+                         checkpoint_path=tmp_path / "ckpt.json",
+                         max_rounds_per_snr=10)
+    results = r.run()
+    assert len(results) == 1
+    rows = r.report_rows()
+    assert rows[0]["test_frames"] >= 16
+    r.write_result_txt(tmp_path / "Result.txt")
+    r.write_demod_txt(tmp_path / "demod.txt")
+    assert "FER" in (tmp_path / "Result.txt").read_text()
+
+
+def test_runner_resume(tcode, tmp_path):
+    """Interrupted sweep resumes from the checkpoint and produces the same
+    totals as an uninterrupted run (CONTINUE_SEED parity, SURVEY.md §5)."""
+    mk = lambda: tiny_cfg(fake_encode=True, batch_per_device=1,
+                          snr_start=0.0, snr_pass=1.0, snr_end=2.0,
+                          min_frames=8, min_frame_errors=0, seed=42)
+    ck = tmp_path / "ck.json"
+    full = MonteCarloRunner(mk(), code=tcode, max_rounds_per_snr=8).run()
+
+    # Run the first SNR point only, checkpoint, then restart and finish.
+    r1 = MonteCarloRunner(mk(), code=tcode, checkpoint_path=ck,
+                          max_rounds_per_snr=8)
+    res = r1.run_snr(0, 0.0)
+    r1.results.append(res)
+    r1._state["snr_idx"] = 1
+    r1._state["round"] = 0
+    r1._state["counters"] = {k: 0 for k in res.counters}
+    r1._save_checkpoint()
+
+    r2 = MonteCarloRunner(mk(), code=tcode, checkpoint_path=ck,
+                          max_rounds_per_snr=8)
+    out = r2.run()
+    assert len(out) == 2
+    for a, b in zip(full, out):
+        assert a.counters == b.counters
