@@ -41,6 +41,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="all-zero codeword path (reference FAKE_ENCODE)")
     ap.add_argument("--max-rounds", type=int, default=100000,
                     help="safety cap on MC rounds per SNR point")
+    ap.add_argument("--collect-errors", action="store_true",
+                    help="always dump failing-frame forensics (otherwise "
+                         "auto when FER < 1e-5, the reference collectflag)")
+    ap.add_argument("--trace-dir", type=str, default=None,
+                    help="write a jax.profiler trace of the first SNR point")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -104,12 +109,26 @@ def main(argv=None) -> int:
             f"FER {c['error_frames'] / tf:.3e}")
         sys.stdout.flush()
 
-    runner.run(progress=progress)
+    if args.trace_dir:
+        import jax
+
+        with jax.profiler.trace(args.trace_dir):
+            runner.run(progress=progress)
+    else:
+        runner.run(progress=progress)
     if not args.quiet:
         sys.stdout.write("\n")
 
     runner.write_result_txt(out / "Result.txt")
     runner.write_demod_txt(out / "demod.txt")
+    runner.write_itercount_txt(out / "iterCount.txt")
+    rows = runner.report_rows()
+    collect = args.collect_errors or any(
+        r["fer"] < 1e-5 for r in rows)  # reference collectflag main.cpp:190
+    if collect:
+        n = runner.collect_error_frames(out)
+        if not args.quiet and n:
+            print(f"dumped {n} failing frames to {out}/errorindex.txt")
     for row in runner.report_rows():
         print(f"SNR {row['snr_db']:.2f}  FER {row['fer']:.4e}  "
               f"BER {row['ber']:.4e}  frames {row['test_frames']}  "

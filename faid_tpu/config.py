@@ -137,8 +137,11 @@ class SimConfig:
     # Monte-Carlo stopping rule (reference main.cpp:164, 209-211).
     min_frames: int = 1000
     min_frame_errors: int = 20
-    # TPU batch geometry: frames decoded per device step.
+    # TPU batch geometry: frames decoded per device step, and how many
+    # Monte-Carlo rounds run on-device between host syncs (the reference
+    # dispatches 50 rounds per pthread, CSimulate.cpp:117).
     batch_per_device: int = 256
+    rounds_per_sync: int = 8
     rate_override: float | None = 0.8444444  # reference CLDPC.cpp:4780
 
     @property

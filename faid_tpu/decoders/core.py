@@ -55,11 +55,19 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
     """Returns decode(llr[batch, n_var] int8) ->
     dict(hard[batch, n_var] bool, mp_iters[batch], bf_rounds[batch]).
 
-    backend: 'xla' (dense jnp ops) or 'pallas' (fused VMEM-resident MP
-    kernel, ops/pallas_decoder.py; bit-identical, TPU only unless
-    ``interpret``).  The BF post-processors always run as jnp - they are
-    batch-masked while_loops that early-exit, not per-iteration sweeps.
+    backend: 'auto' (pallas on TPU when the config is supported, else
+    xla), 'xla' (dense jnp ops, runs anywhere) or 'pallas' (fused
+    VMEM-resident MP kernel, ops/pallas_decoder.py; bit-identical, ~2.7x
+    faster on TPU v5e, TPU only unless ``interpret``).  The BF
+    post-processors always run as jnp - they are batch-masked
+    while_loops that early-exit, not per-iteration sweeps.
     """
+    if backend == "auto":
+        import jax as _jax
+        from ..ops import pallas_decoder as _pk
+
+        on_tpu = _jax.devices()[0].platform == "tpu"
+        backend = "pallas" if (on_tpu and _pk.supports(dcfg)) else "xla"
     if backend == "pallas":
         return _build_pallas_decoder(code, dcfg, interpret, pallas_bt)
     style = _style_for(dcfg.method)

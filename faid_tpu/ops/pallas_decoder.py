@@ -249,9 +249,12 @@ def make_mp_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
     lut_args = ()
     num_lut = 0
     if style == "faid":
-        lut = jnp.asarray(
-            luts.table_for(dcfg.lut_family, dcfg.max_iter), jnp.int32)
-        lut_ef = jnp.asarray(luts.ef_table(dcfg.max_iter), jnp.int32)
+        # numpy (not jnp) so the lru-cached closure never captures a
+        # traced constant - jnp.asarray under an active jit trace yields
+        # a tracer, which would leak across traces.
+        lut = np.asarray(
+            luts.table_for(dcfg.lut_family, dcfg.max_iter), np.int32)
+        lut_ef = np.asarray(luts.ef_table(dcfg.max_iter), np.int32)
         lut_args = (lut, lut_ef)
         num_lut = 2
 
@@ -259,6 +262,13 @@ def make_mp_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
         b = llr_cbz.shape[1]
         assert b % bt == 0, (b, bt)
         grid = (b // bt,)
+        # Under shard_map the outputs inherit the input's varying-axes
+        # (vma) type; pallas_call requires it spelled out on out_shape.
+        try:
+            vma = jax.typeof(llr_cbz).vma or None
+        except Exception:
+            vma = None
+        vkw = {"vma": vma} if vma else {}
         in_specs = (
             [pl.BlockSpec(memory_space=pltpu.SMEM)] * num_lut
             + [pl.BlockSpec((c_blocks, bt, z), lambda i: (0, i, 0),
@@ -276,8 +286,8 @@ def make_mp_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=(
-                jax.ShapeDtypeStruct((c_blocks, b, z), jnp.int8),
-                jax.ShapeDtypeStruct((b, 1), jnp.int32),
+                jax.ShapeDtypeStruct((c_blocks, b, z), jnp.int8, **vkw),
+                jax.ShapeDtypeStruct((b, 1), jnp.int32, **vkw),
             ),
             scratch_shapes=[pltpu.VMEM((n_entries, bt, z), jnp.int8)],
             interpret=interpret,

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..code.qc_matrix import QCCode
 from ..config import SimConfig
-from ..sim.pipeline import build_sim_step
+from ..sim.pipeline import build_sim_loop, build_sim_step
 
 BATCH_AXIS = "batch"
 
@@ -57,6 +57,30 @@ def build_sharded_sim_step(code: QCCode, cfg: SimConfig, mesh: Mesh) -> Callable
         device_body,
         mesh=mesh,
         in_specs=(P(), P()),
+        out_specs=P(),
+    )
+    return jax.jit(shmap)
+
+
+def build_sharded_sim_loop(code: QCCode, cfg: SimConfig, mesh: Mesh,
+                           rounds: int, backend: str = "auto") -> Callable:
+    """Like build_sharded_sim_step but runs ``rounds`` Monte-Carlo rounds
+    per call with on-device accumulation (one host sync + one psum per
+    ``rounds`` batches).  loop(key, sigma, round0) -> replicated counters.
+    """
+    loop = build_sim_loop(code, cfg, rounds, backend=backend)
+    axis = mesh.axis_names[0]
+
+    def device_body(key: jax.Array, sigma: jax.Array,
+                    round0: jax.Array) -> dict:
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        stats = loop(key, sigma, round0)
+        return jax.tree.map(lambda x: jax.lax.psum(x, axis), stats)
+
+    shmap = jax.shard_map(
+        device_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
         out_specs=P(),
     )
     return jax.jit(shmap)

@@ -32,14 +32,15 @@ from ..ops import channel, modem
 from ..ops import fixed_point as fp
 
 
-def build_sim_step(code: QCCode, cfg: SimConfig) -> Callable:
+def build_sim_step(code: QCCode, cfg: SimConfig,
+                   backend: str = "auto") -> Callable:
     """Returns step(key, sigma) -> dict of int32 scalar counters.
 
     ``key`` is a jax PRNG key; ``sigma`` is the traced noise std-dev so one
     compiled executable serves the whole SNR sweep.
     """
     dcfg = cfg.decoder()
-    decoder = build_decoder(code, dcfg)
+    decoder = build_decoder(code, dcfg, backend=backend)
     encode = None if cfg.fake_encode else make_encode_fn(code)
     batch = cfg.batch_per_device
     n_info = code.n_info
@@ -94,6 +95,14 @@ def build_sim_step(code: QCCode, cfg: SimConfig) -> Callable:
         err_bits = err.sum(axis=1).astype(jnp.int32)
         frame_err = err_bits > 0
 
+        # Iteration histograms (the reference appends the remaining-BF-iter
+        # histogram to iterCount.txt, CSimulate.cpp:171-179).
+        bf_cap = max(dcfg.bf.max_iter, 1)
+        mp_hist = jnp.bincount(jnp.clip(out["mp_iters"], 0, dcfg.max_iter),
+                               length=dcfg.max_iter + 1).astype(jnp.int32)
+        bf_hist = jnp.bincount(jnp.clip(out["bf_rounds"], 0, bf_cap),
+                               length=bf_cap + 1).astype(jnp.int32)
+
         return {
             "test_frames": jnp.int32(batch),
             "error_bits": err_bits.sum(),
@@ -104,9 +113,97 @@ def build_sim_step(code: QCCode, cfg: SimConfig) -> Callable:
             "mod_error_frames": (mod_error_bits > 0).sum().astype(jnp.int32),
             "mp_iters": out["mp_iters"].sum(),
             "bf_rounds": out["bf_rounds"].sum(),
+            "mp_hist": mp_hist,
+            "bf_hist": bf_hist,
         }
 
     return step
+
+
+def build_debug_step(code: QCCode, cfg: SimConfig,
+                     backend: str = "auto") -> Callable:
+    """Forensic replay step: same datapath as build_sim_step but returns
+    per-frame arrays instead of counters.  Because every noise draw is a
+    pure function of the key, any Monte-Carlo round can be replayed
+    exactly to dump its failing frames - the TPU-native equivalent of the
+    reference's errorindex/errorfloat/errordecode.txt dumps
+    (CLDPC.cpp:4877-4991) without instrumenting the hot path.
+
+    Returns debug(key, sigma) -> dict(err_bits[b], hard[b, n_var] bool,
+    cw[b, n_var] int8, llr[b, n_var] int8).
+    """
+    dcfg = cfg.decoder()
+    decoder = build_decoder(code, dcfg, backend=backend)
+    encode = None if cfg.fake_encode else make_encode_fn(code)
+    batch = cfg.batch_per_device
+    n_info = code.n_info
+    mod = cfg.mod_type
+
+    def debug(key: jax.Array, sigma: jax.Array) -> dict:
+        k_msg, k_noise = jax.random.split(key)
+        if cfg.fake_encode:
+            cw = jnp.zeros((batch, code.n_var), jnp.int8)
+        else:
+            u = jax.random.bernoulli(k_msg, 0.5, (batch, n_info))
+            cw = encode(u.astype(jnp.int8))
+        tx_bits = modem.interleave(cw, cfg.interleave_depth)
+        if mod == 1:
+            sym = modem.modulate_bpsk(tx_bits)
+            soft = modem.demodulate_bpsk(
+                channel.awgn_real(k_noise, sym, sigma))
+        else:
+            sym = modem.modulate_qam(tx_bits, mod)
+            soft = modem.demodulate_qam(
+                channel.awgn_complex(k_noise, sym, sigma / jnp.sqrt(2.0)),
+                mod)
+        soft = modem.deinterleave(soft, cfg.interleave_depth)
+        llr = fp.quantize_llr(soft, cfg.scale, cfg.quant_bits)
+        out = decoder(llr)
+        err = jnp.logical_xor(out["hard"][:, :n_info],
+                              cw[:, :n_info].astype(jnp.bool_))
+        return {
+            "err_bits": err.sum(axis=1).astype(jnp.int32),
+            "hard": out["hard"],
+            "cw": cw,
+            "llr": llr,
+        }
+
+    return debug
+
+
+def build_sim_loop(code: QCCode, cfg: SimConfig, rounds: int,
+                   backend: str = "auto") -> Callable:
+    """Returns loop(key, sigma, round0) -> summed counters over ``rounds``
+    consecutive Monte-Carlo rounds, accumulated ON DEVICE with a
+    ``lax.fori_loop``.
+
+    One host sync per ``rounds`` batches instead of per batch - the TPU
+    replacement for the reference's 50-rounds-per-pthread-dispatch
+    granularity (CSimulate.cpp:117).  Round ``i`` uses
+    ``fold_in(key, round0 + i)``, so results are identical to calling
+    the single step ``rounds`` times with those keys.
+    """
+    step = build_sim_step(code, cfg, backend=backend)
+
+    def loop(key: jax.Array, sigma: jax.Array, round0: jax.Array) -> dict:
+        def body(i, acc):
+            stats = step(jax.random.fold_in(key, round0 + i), sigma)
+            return jax.tree.map(jnp.add, acc, stats)
+
+        # Zero initial counters derived from the key so they carry its
+        # device-varying type under shard_map (see utils/vma.py).
+        zero = jax.random.key_data(key).astype(jnp.int32).sum() * 0
+        init = {k: zero for k in (
+            "test_frames", "error_bits", "error_frames", "lt3_frames",
+            "mod_error_bits", "mod_error_symbols", "mod_error_frames",
+            "mp_iters", "bf_rounds")}
+        dcfg = cfg.decoder()
+        bf_cap = max(dcfg.bf.max_iter, 1)
+        init["mp_hist"] = jnp.zeros(dcfg.max_iter + 1, jnp.int32) + zero
+        init["bf_hist"] = jnp.zeros(bf_cap + 1, jnp.int32) + zero
+        return jax.lax.fori_loop(0, rounds, body, init)
+
+    return loop
 
 
 def sigma_for(cfg: SimConfig, snr_db: float) -> float:

@@ -32,6 +32,14 @@ COUNTER_KEYS = (
     "mod_error_bits", "mod_error_symbols", "mod_error_frames",
     "mp_iters", "bf_rounds",
 )
+# Vector-valued counters (iteration histograms) accumulated elementwise.
+HIST_KEYS = ("mp_hist", "bf_hist")
+
+
+def _add_counter(a, b):
+    if isinstance(a, list):
+        return [x + y for x, y in zip(a, b)]
+    return a + b
 
 
 @dataclasses.dataclass
@@ -39,10 +47,9 @@ class SnrResult:
     snr_db: float
     counters: dict
     seconds: float
-
-    @property
-    def n_info_total(self):
-        return self._n_info_total
+    # [start, end) round ranges in which >=1 frame error occurred -
+    # enough to replay and dump the exact failing frames later.
+    err_chunks: list = dataclasses.field(default_factory=list)
 
     def rates(self, n_info: int, mod_type: int) -> dict:
         c = self.counters
@@ -88,15 +95,24 @@ class MonteCarloRunner:
         self.cfg = cfg
         self.code = code if code is not None else load_code(cfg.file_name_key())
         self.mesh = mesh if mesh is not None else mesh_mod.make_mesh()
-        self.step = mesh_mod.build_sharded_sim_step(self.code, cfg, self.mesh)
+        self.rounds_per_sync = max(1, cfg.rounds_per_sync)
+        self.loop = mesh_mod.build_sharded_sim_loop(
+            self.code, cfg, self.mesh, self.rounds_per_sync)
         self.checkpoint_path = Path(checkpoint_path) if checkpoint_path else None
         self.max_rounds_per_snr = max_rounds_per_snr
         self.results: list[SnrResult] = []
         self._state = {"snr_idx": 0, "round": 0,
-                       "counters": {k: 0 for k in COUNTER_KEYS},
-                       "done": []}
+                       "counters": self._zero_counters(),
+                       "err_chunks": [], "done": []}
         if self.checkpoint_path and self.checkpoint_path.exists():
             self._load_checkpoint()
+
+    def _zero_counters(self) -> dict:
+        dcfg = self.cfg.decoder()
+        z = {k: 0 for k in COUNTER_KEYS}
+        z["mp_hist"] = [0] * (dcfg.max_iter + 1)
+        z["bf_hist"] = [0] * (max(dcfg.bf.max_iter, 1) + 1)
+        return z
 
     # -- checkpointing ------------------------------------------------------
     def _load_checkpoint(self):
@@ -104,7 +120,9 @@ class MonteCarloRunner:
         if st.get("seed") != self.cfg.seed:
             return  # different experiment; start fresh
         self._state = st["state"]
-        self.results = [SnrResult(r["snr_db"], r["counters"], r["seconds"])
+        self._state.setdefault("err_chunks", [])
+        self.results = [SnrResult(r["snr_db"], r["counters"], r["seconds"],
+                                  r.get("err_chunks", []))
                         for r in st["results"]]
 
     def _save_checkpoint(self):
@@ -129,19 +147,26 @@ class MonteCarloRunner:
         c = self._state["counters"]
         t0 = time.monotonic()
         rnd = self._state["round"]
+        sync = 0
         while not self._stop_satisfied(c) and rnd < self.max_rounds_per_snr:
-            key = jax.random.fold_in(base, rnd)
-            stats = jax.tree.map(int, self.step(key, sigma))
-            for k in COUNTER_KEYS:
-                c[k] += stats[k]
-            rnd += 1
+            raw = self.loop(base, sigma, jnp.int32(rnd))
+            stats = {k: (v.tolist() if getattr(v, "ndim", 0) else int(v))
+                     for k, v in raw.items()}
+            for k in c:
+                c[k] = _add_counter(c[k], stats[k])
+            if stats["error_frames"] > 0:
+                self._state["err_chunks"].append(
+                    [rnd, rnd + self.rounds_per_sync])
+            rnd += self.rounds_per_sync
+            sync += 1
             self._state["round"] = rnd
             if progress:
                 progress(snr_db, dict(c))
-            if rnd % 50 == 0:
+            if sync % 8 == 0:
                 self._save_checkpoint()
         seconds = time.monotonic() - t0
-        return SnrResult(snr_db, dict(c), seconds)
+        return SnrResult(snr_db, dict(c), seconds,
+                         list(self._state["err_chunks"]))
 
     def run(self, progress=None) -> list[SnrResult]:
         pts = snr_points(self.cfg)
@@ -151,7 +176,8 @@ class MonteCarloRunner:
             self.results.append(res)
             self._state["snr_idx"] = i + 1
             self._state["round"] = 0
-            self._state["counters"] = {k: 0 for k in COUNTER_KEYS}
+            self._state["counters"] = self._zero_counters()
+            self._state["err_chunks"] = []
             self._save_checkpoint()
             # Early sweep exit once the channel is clean enough that the
             # frame-error target can no longer be hit in reasonable time is
@@ -177,6 +203,89 @@ class MonteCarloRunner:
                 f"{r['fer']:>12.4e} {r['ber']:>12.4e} "
                 f"{r['lt3_frames']:>14d} {r['seconds']:>9.2f}\n")
         Path(path).write_text("".join(lines))
+
+    def write_itercount_txt(self, path: str | Path):
+        """Iteration-histogram table per SNR point - the reference appends
+        the remaining-BF-iteration histogram to iterCount.txt
+        (CSimulate.cpp:171-179); here both MP and BF histograms."""
+        lines = []
+        for r in self.results:
+            mp = r.counters.get("mp_hist", [])
+            bf = r.counters.get("bf_hist", [])
+            lines.append(f"SNR {r.snr_db:.2f}\n")
+            lines.append("  mp_iters " +
+                         " ".join(str(x) for x in mp) + "\n")
+            lines.append("  bf_rounds " +
+                         " ".join(str(x) for x in bf) + "\n")
+        Path(path).write_text("".join(lines))
+
+    def collect_error_frames(self, out_dir: str | Path,
+                             max_frames: int = 256) -> int:
+        """Replay the rounds that produced frame errors and dump the exact
+        failing frames - errorindex.txt (info-bit block+offset per Z
+        circulant), errordecode.txt (decoded hard bits of the erroneous
+        positions) and errorllr.txt (their quantized channel LLRs), the
+        TPU equivalent of the reference's collectflag dumps
+        (CLDPC.cpp:4877-4991; main.cpp:190-192).  Exact because every
+        round's noise is a pure function of (seed, snr_idx, device,
+        round).  Returns the number of frames dumped."""
+        import numpy as np
+
+        from .pipeline import build_debug_step
+
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        debug = jax.jit(build_debug_step(self.code, self.cfg))
+        z = self.code.z
+        n_info = self.code.n_info
+        dumped = 0
+        f_idx = open(out_dir / "errorindex.txt", "w")
+        f_dec = open(out_dir / "errordecode.txt", "w")
+        f_llr = open(out_dir / "errorllr.txt", "w")
+        try:
+            for snr_idx, res in enumerate(self.results):
+                if not res.err_chunks:
+                    continue
+                sigma = jnp.float32(self.cfg.sigma_at(res.snr_db))
+                base = jax.random.fold_in(
+                    jax.random.key(self.cfg.seed), snr_idx)
+                for r0, r1 in res.err_chunks:
+                    for rnd in range(r0, r1):
+                        for d in range(self.mesh.size):
+                            key = jax.random.fold_in(
+                                jax.random.fold_in(base, d), rnd)
+                            out = debug(key, sigma)
+                            err_bits = np.asarray(out["err_bits"])
+                            bad = np.nonzero(err_bits)[0]
+                            if bad.size == 0:
+                                continue
+                            hard = np.asarray(out["hard"])
+                            cw = np.asarray(out["cw"])
+                            llr = np.asarray(out["llr"])
+                            for f in bad:
+                                pos = np.nonzero(
+                                    hard[f, :n_info]
+                                    != cw[f, :n_info].astype(bool))[0]
+                                tag = (f"snr {res.snr_db:.2f} dev {d} "
+                                       f"round {rnd} frame {int(f)} "
+                                       f"errs {int(err_bits[f])}")
+                                f_idx.write(tag + " : " + " ".join(
+                                    f"b{p // z + 1}+{p % z}"
+                                    for p in pos) + "\n")
+                                f_dec.write(tag + " : " + " ".join(
+                                    str(int(hard[f, p]))
+                                    for p in pos) + "\n")
+                                f_llr.write(tag + " : " + " ".join(
+                                    str(int(llr[f, p]))
+                                    for p in pos) + "\n")
+                                dumped += 1
+                                if dumped >= max_frames:
+                                    return dumped
+        finally:
+            f_idx.close()
+            f_dec.close()
+            f_llr.close()
+        return dumped
 
     def write_demod_txt(self, path: str | Path):
         """demod.txt-compatible table (reference main.cpp:224-226)."""

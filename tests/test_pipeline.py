@@ -20,6 +20,12 @@ def tcode():
     return toy_code()
 
 
+def to_py(stats):
+    """Device counters -> python ints/lists (hists are vectors)."""
+    return {k: (v.tolist() if getattr(v, "ndim", 0) else int(v))
+            for k, v in stats.items()}
+
+
 def tiny_cfg(**kw):
     base = dict(decode_method=DecodeMethod.FAID_DTBF, max_iteration=2,
                 mod_type=2, batch_per_device=4, seed=7,
@@ -32,7 +38,7 @@ def test_sim_step_high_snr_zero_errors(tcode):
     cfg = tiny_cfg(fake_encode=True)
     step = jax.jit(build_sim_step(tcode, cfg))
     key = jax.random.key(0)
-    out = jax.tree.map(int, step(key, jnp.float32(cfg.sigma_at(8.0))))
+    out = to_py(step(key, jnp.float32(cfg.sigma_at(8.0))))
     assert out["test_frames"] == 4
     assert out["error_frames"] == 0
     assert out["error_bits"] == 0
@@ -41,7 +47,7 @@ def test_sim_step_high_snr_zero_errors(tcode):
 def test_sim_step_low_snr_errors(tcode):
     cfg = tiny_cfg(fake_encode=True)
     step = jax.jit(build_sim_step(tcode, cfg))
-    out = jax.tree.map(int, step(jax.random.key(0),
+    out = to_py(step(jax.random.key(0),
                                  jnp.float32(cfg.sigma_at(-8.0))))
     assert out["error_frames"] == 4
     assert out["mod_error_bits"] > 0
@@ -50,7 +56,7 @@ def test_sim_step_low_snr_errors(tcode):
 def test_sim_step_real_encoder(code):
     cfg = tiny_cfg(fake_encode=False)
     step = jax.jit(build_sim_step(code, cfg))
-    out = jax.tree.map(int, step(jax.random.key(1),
+    out = to_py(step(jax.random.key(1),
                                  jnp.float32(cfg.sigma_at(8.0))))
     assert out["error_frames"] == 0
 
@@ -62,7 +68,7 @@ def test_sim_step_all_modulations(tcode, mod_type):
     # Higher-order constellations need proportionally more Eb/N0 for a
     # clean channel (256QAM min-distance ~0.153 vs QPSK ~1.41).
     snr = {1: 8.0, 2: 8.0, 4: 12.0, 6: 16.0, 8: 20.0}[mod_type]
-    out = jax.tree.map(int, step(jax.random.key(2),
+    out = to_py(step(jax.random.key(2),
                                  jnp.float32(cfg.sigma_at(snr))))
     assert out["error_frames"] == 0
 
@@ -72,7 +78,7 @@ def test_sharded_step_matches_device_count(tcode):
     assert mesh.size == 8  # conftest forces 8 virtual devices
     cfg = tiny_cfg(fake_encode=True, batch_per_device=2)
     step = mesh_mod.build_sharded_sim_step(tcode, cfg, mesh)
-    out = jax.tree.map(int, step(jax.random.key(0),
+    out = to_py(step(jax.random.key(0),
                                  jnp.float32(cfg.sigma_at(8.0))))
     assert out["test_frames"] == 2 * 8
     assert out["error_frames"] == 0
@@ -83,10 +89,10 @@ def test_sharded_determinism(tcode):
     cfg = tiny_cfg(fake_encode=True, batch_per_device=2)
     step = mesh_mod.build_sharded_sim_step(tcode, cfg, mesh)
     sig = jnp.float32(cfg.sigma_at(1.0))
-    a = jax.tree.map(int, step(jax.random.key(3), sig))
-    b = jax.tree.map(int, step(jax.random.key(3), sig))
+    a = to_py(step(jax.random.key(3), sig))
+    b = to_py(step(jax.random.key(3), sig))
     assert a == b
-    c = jax.tree.map(int, step(jax.random.key(4), sig))
+    c = to_py(step(jax.random.key(4), sig))
     assert a != c  # different key -> different noise
 
 
@@ -127,7 +133,8 @@ def test_runner_resume(tcode, tmp_path):
     r1.results.append(res)
     r1._state["snr_idx"] = 1
     r1._state["round"] = 0
-    r1._state["counters"] = {k: 0 for k in res.counters}
+    r1._state["counters"] = r1._zero_counters()
+    r1._state["err_chunks"] = []
     r1._save_checkpoint()
 
     r2 = MonteCarloRunner(mk(), code=tcode, checkpoint_path=ck,
