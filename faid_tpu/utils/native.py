@@ -46,6 +46,14 @@ def get_lib() -> ctypes.CDLL:
         lib.gf2_matmul_mod2.restype = None
         lib.gf2_syndrome_weight.argtypes = [u8p, u8p, c, c, c, i32p]
         lib.gf2_syndrome_weight.restype = None
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.golden_decode.argtypes = (
+            [i32p, i32p, i32p, c, c, c, i8p]          # code + llr
+            + [c] * 11                                 # style..sign_backtrack
+            + [ctypes.c_void_p, ctypes.c_void_p, c]    # lut, lut_ef, tail
+            + [c] * 9                                  # bf config
+            + [u8p, i32p, i32p])                       # outputs
+        lib.golden_decode.restype = None
         _lib = lib
         return lib
 
@@ -71,6 +79,55 @@ def gf2_matmul_mod2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     out = np.empty((m, n), dtype=np.uint8)
     get_lib().gf2_matmul_mod2(a, b, m, k, n, out)
     return out
+
+
+_BF_KINDS = {"none": 0, "static": 1, "dtbf": 2, "dtbf2b1c": 3}
+_STYLES = {"nms": 0, "oms": 1, "faid": 2}
+
+
+def golden_decode_native(llr: np.ndarray, code, dcfg) -> dict:
+    """Native mirror of faid_tpu.golden.model.decode_golden (one frame).
+
+    Bit-identical to the numpy oracle (tests/test_native_golden.py); ~100x
+    faster, making wide-coverage parity tests cheap.
+    """
+    from ..decoders import luts as luts_mod
+
+    lib = get_lib()
+    style = _STYLES["nms" if dcfg.method.value == 0
+                    else "oms" if dcfg.method.value in (1, 3, 4) else "faid"]
+    if style == _STYLES["faid"]:
+        lut = np.ascontiguousarray(
+            luts_mod.table_for(dcfg.lut_family, dcfg.max_iter), dtype=np.int8)
+        lut_ef = np.ascontiguousarray(
+            luts_mod.ef_table(dcfg.max_iter), dtype=np.int8)
+        lut_p = lut.ctypes.data_as(ctypes.c_void_p)
+        lut_ef_p = lut_ef.ctypes.data_as(ctypes.c_void_p)
+    else:
+        lut = lut_ef = None
+        lut_p = lut_ef_p = None
+
+    degrees_per_cn = np.repeat(code.degrees_np,
+                               [code.z] * code.n_block_rows).astype(np.int32)
+    edges = np.ascontiguousarray(code.edge_list_np, dtype=np.int32)
+    vn_weight = np.ascontiguousarray(code.vn_weight_np, dtype=np.int32)
+    llr = np.ascontiguousarray(llr, dtype=np.int8)
+    hard = np.empty(code.n_var, dtype=np.uint8)
+    mp = np.zeros(1, dtype=np.int32)
+    bf = np.zeros(1, dtype=np.int32)
+    b = dcfg.bf
+    lib.golden_decode(
+        edges, degrees_per_cn, vn_weight,
+        code.n_var, code.n_chk, code.n_edges, llr,
+        style, dcfg.max_iter, dcfg.factor_1, dcfg.factor_2, dcfg.oms_mode,
+        dcfg.oms_offset, int(dcfg.stop_early), dcfg.ef_elimination,
+        dcfg.floor_err_count, dcfg.floor_iter_thresh,
+        int(dcfg.sign_backtrack),
+        lut_p, lut_ef_p, code.puncture_tail,
+        _BF_KINDS[b.kind], b.max_iter, b.delta, b.l0, b.l1, b.alpha,
+        b.gamma, b.static_vote_cap, b.reliability_threshold,
+        hard, mp, bf)
+    return {"hard": hard, "mp_iters": int(mp[0]), "bf_rounds": int(bf[0])}
 
 
 def gf2_syndrome_weight(h: np.ndarray, c: np.ndarray) -> np.ndarray:

@@ -37,9 +37,11 @@ def noisy_zero_llrs(code, rng, batch, sigma=0.8, scale=13.0):
 
 @pytest.mark.parametrize("method", METHODS)
 def test_bit_exact_random_llrs(code, rng, method):
+    """JAX vs the slow numpy oracle (1 frame per method; wide-coverage
+    parity lives in test_native_golden.py against the fast C++ oracle)."""
     dcfg = small_cfg(method)
     dec = jax.jit(build_decoder(code, dcfg))
-    batch = 2
+    batch = 1
     llr = rng.integers(-7, 8, size=(batch, code.n_var)).astype(np.int8)
     out = jax.tree.map(np.asarray, dec(jnp.asarray(llr)))
     for f in range(batch):
@@ -55,7 +57,7 @@ def test_bit_exact_random_llrs(code, rng, method):
 def test_bit_exact_noisy_channel(code, rng, method):
     dcfg = small_cfg(method, max_iter=3)
     dec = jax.jit(build_decoder(code, dcfg))
-    llr = noisy_zero_llrs(code, rng, batch=2)
+    llr = noisy_zero_llrs(code, rng, batch=1)
     out = jax.tree.map(np.asarray, dec(jnp.asarray(llr)))
     for f in range(llr.shape[0]):
         g = decode_golden(llr[f], code, dcfg)
