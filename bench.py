@@ -27,7 +27,7 @@ from pathlib import Path
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=1024,
+    ap.add_argument("--batch", type=int, default=2048,
                     help="frames per round (per chip)")
     ap.add_argument("--rounds", type=int, default=10,
                     help="rounds per on-device loop call")
@@ -67,7 +67,8 @@ def main():
 
     frames = args.batch * args.rounds * args.calls
     mbit_s = frames * code.n_info / dt / 1e6
-    stats = jax.tree.map(int, out)
+    stats = {k: (v.tolist() if getattr(v, "ndim", 0) else int(v))
+             for k, v in jax.device_get(out).items()}
 
     base_path = Path(__file__).parent / "bench_baseline.json"
     if base_path.exists():

@@ -46,6 +46,15 @@ def build_argparser() -> argparse.ArgumentParser:
                          "auto when FER < 1e-5, the reference collectflag)")
     ap.add_argument("--trace-dir", type=str, default=None,
                     help="write a jax.profiler trace of the first SNR point")
+    ap.add_argument("--backend", type=str, default=None,
+                    choices=["auto", "xla", "pallas"],
+                    help="decoder backend (default auto: pallas on TPU)")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a jax platform, e.g. cpu (this image "
+                         "ignores the JAX_PLATFORMS env var)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="call jax.distributed.initialize() so the mesh "
+                         "spans all hosts' devices (DCN + ICI)")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -82,12 +91,25 @@ def config_from_args(args) -> "SimConfig":
         over["decode_method"] = DecodeMethod(args.method)
     if args.fake_encode:
         over["fake_encode"] = True
+    if args.backend is not None:
+        over["backend"] = args.backend
     return dataclasses.replace(cfg, **over)
 
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        # Multi-host data parallelism: every host runs this same CLI; the
+        # mesh then spans all hosts' devices and the psum counter
+        # reduction rides ICI within a slice and DCN across hosts
+        # (SURVEY.md §5 'distributed communication backend').
+        jax.distributed.initialize()
 
     from .sim.runner import MonteCarloRunner
     from .utils.cache import enable_compilation_cache

@@ -142,6 +142,8 @@ class SimConfig:
     # dispatches 50 rounds per pthread, CSimulate.cpp:117).
     batch_per_device: int = 256
     rounds_per_sync: int = 8
+    # Decoder execution backend: auto | xla | pallas (decoders/core.py).
+    backend: str = "auto"
     rate_override: float | None = 0.8444444  # reference CLDPC.cpp:4780
 
     @property

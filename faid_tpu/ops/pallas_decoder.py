@@ -86,10 +86,11 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int):
     ]
 
     def syndrome_row(en_ref, r):
-        """[BT, Z] bool: CN r unsatisfied, from sign(en) > 0."""
+        """[BT, Z] bool: CN r unsatisfied, from sign(en) > 0.
+        en_ref holds int32 (the VMEM-resident working state)."""
         acc = None
         for c, s in edges[r]:
-            h = _roll(en_ref[c].astype(jnp.int32), -s) > 0
+            h = _roll(en_ref[c], -s) > 0
             acc = h if acc is None else jnp.logical_xor(acc, h)
         return acc
 
@@ -109,7 +110,7 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int):
         # ---- pass 1 ----------------------------------------------------
         vns, vcs = [], []
         for e, (c, s) in enumerate(edges[r]):
-            vn = _roll(en_ref[c].astype(jnp.int32), -s)
+            vn = _roll(en_ref[c], -s)
             vc = jnp.maximum(_clip8(vn - msgs_ref[lo + e].astype(jnp.int32)),
                              SAT_NEG_VAR)
             vns.append(vn)
@@ -184,25 +185,27 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int):
             msgs_ref[lo + e] = jnp.where(
                 active, new_msg, msgs_ref[lo + e].astype(jnp.int32)
             ).astype(jnp.int8)
-            en_ref[c] = jnp.where(
-                active, _roll(en_new, s),
-                en_ref[c].astype(jnp.int32)).astype(jnp.int8)
+            en_ref[c] = jnp.where(active, _roll(en_new, s), en_ref[c])
 
     def kernel(*args):
         if style == "faid":
-            lut_ref, lut_ef_ref, llr_ref, en_out, iters_out, msgs_ref = args
+            (lut_ref, lut_ef_ref, llr_ref, en_out, iters_out,
+             msgs_ref, en32) = args
             lut_refs = (lut_ref, lut_ef_ref)
         else:
-            llr_ref, en_out, iters_out, msgs_ref = args
+            llr_ref, en_out, iters_out, msgs_ref, en32 = args
             lut_refs = None
 
-        en_out[...] = llr_ref[...]
+        # Working state lives in VMEM as int32 for the whole decode -
+        # `en` is read three times per edge per iteration, and keeping it
+        # widened avoids an int8<->int32 relayout at every access.
+        en32[...] = llr_ref[...].astype(jnp.int32)
         msgs_ref[...] = jnp.zeros(msgs_ref.shape, msgs_ref.dtype)
         iters_out[...] = jnp.zeros(iters_out.shape, iters_out.dtype)
 
         def iteration(it, _):
             if stop_early:
-                unsat_rows = [syndrome_row(en_out, r) for r in range(n_rows)]
+                unsat_rows = [syndrome_row(en32, r) for r in range(n_rows)]
                 count = functools.reduce(
                     jnp.add,
                     [u.astype(jnp.int32).sum(axis=1, keepdims=True)
@@ -222,13 +225,14 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int):
             @pl.when(any_active)
             def _():
                 for r in range(n_rows):
-                    row_update(en_out, msgs_ref, lut_refs, it, r, active,
+                    row_update(en32, msgs_ref, lut_refs, it, r, active,
                                unsat_rows[r], l_m_err, in_floor)
                 iters_out[...] = iters_out[...] + active.astype(jnp.int32)
 
             return 0
 
         jax.lax.fori_loop(0, max_iter, iteration, 0)
+        en_out[...] = en32[...].astype(jnp.int8)
 
     return kernel
 
@@ -289,7 +293,8 @@ def make_mp_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
                 jax.ShapeDtypeStruct((c_blocks, b, z), jnp.int8, **vkw),
                 jax.ShapeDtypeStruct((b, 1), jnp.int32, **vkw),
             ),
-            scratch_shapes=[pltpu.VMEM((n_entries, bt, z), jnp.int8)],
+            scratch_shapes=[pltpu.VMEM((n_entries, bt, z), jnp.int8),
+                            pltpu.VMEM((c_blocks, bt, z), jnp.int32)],
             interpret=interpret,
         )(*lut_args, llr_cbz)
         return en, iters.reshape(b)

@@ -97,7 +97,8 @@ class MonteCarloRunner:
         self.mesh = mesh if mesh is not None else mesh_mod.make_mesh()
         self.rounds_per_sync = max(1, cfg.rounds_per_sync)
         self.loop = mesh_mod.build_sharded_sim_loop(
-            self.code, cfg, self.mesh, self.rounds_per_sync)
+            self.code, cfg, self.mesh, self.rounds_per_sync,
+            backend=cfg.backend)
         self.checkpoint_path = Path(checkpoint_path) if checkpoint_path else None
         self.max_rounds_per_snr = max_rounds_per_snr
         self.results: list[SnrResult] = []
