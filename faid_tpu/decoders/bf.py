@@ -84,7 +84,6 @@ def run_dtbf(hard: jnp.ndarray, code: QCCode, cfg: BFConfig,
     """Dynamic-threshold BF; ``two_bit`` enables the 2B1C state machine
     (needs ``llr`` = post-MP LLRs to seed the reliability bit).
     Returns (hard, rounds_used[batch])."""
-    batch = hard.shape[0]
     hard_ch = hard  # DTBF anchors on the post-MP hard decision
     eligible = _weight_mask(code, cfg.gamma)[None]
 

@@ -29,7 +29,6 @@ import numpy as np
 from ..code.qc_matrix import QCCode
 from ..config import DecodeMethod, DecoderConfig
 from ..ops import cn_update, syndrome as syn
-from ..ops import fixed_point as fp
 from . import bf as bf_mod
 from . import luts
 from ..utils import vma
