@@ -90,8 +90,12 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
     ]
     entry_offsets = np.concatenate([[0], np.cumsum(code.degrees_np)])
 
-    def one_iteration(it, en, msgs, era):
-        """Full layered update of all block-rows; returns new (en, msgs, era)."""
+    def one_iteration(it, en, msgs):
+        """Full layered update of all block-rows; returns (en, msgs, active).
+
+        The EF=2 erasure flags reset at the top of every iteration
+        (reference CDecoder_FAID.cpp:624-628), so ``era`` is iteration-local.
+        """
         if needs_sweep:
             unsat = syn.unsat_checks(syn.hard_decision(en), code)
             count = syn.error_count(unsat)
@@ -107,7 +111,9 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
         in_floor = jnp.asarray(remaining <= dcfg.floor_iter_thresh)
 
         en_new, msgs_new = en, msgs
-        era_new = era
+        era_new = (jnp.zeros((en.shape[0], code.n_block_cols, code.z),
+                             jnp.bool_) | (vma.batch_zeros(en) != 0)[:, None, None]
+                   if needs_votes else jnp.zeros((1,), jnp.bool_))
         for r in range(code.n_block_rows):
             lo, hi = int(entry_offsets[r]), int(entry_offsets[r + 1])
             ctx = cn_update.RowCtx(
@@ -122,9 +128,7 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
             a3 = active[:, None, None]
             en_new = jnp.where(a3, en_new, en)
             msgs_new = jnp.where(a3, msgs_new, msgs)
-            if needs_votes:
-                era_new = jnp.where(a3, era_new, era)
-        return en_new, msgs_new, era_new, active
+        return en_new, msgs_new, active
 
     n_entries = int(entry_offsets[-1])
 
@@ -135,23 +139,20 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
         # device-varying under shard_map (utils/vma.py).
         z8 = vma.batch_zeros(en, jnp.int8)
         msgs = jnp.zeros((batch, n_entries, code.z), jnp.int8) + z8[:, None, None]
-        era = ((jnp.zeros((batch, code.n_block_cols, code.z), jnp.bool_)
-                | (z8 != 0)[:, None, None])
-               if needs_votes else jnp.zeros((1,), jnp.bool_))
         mp_iters = vma.batch_zeros(en, jnp.int32)
 
         def cond(carry):
-            it, en, msgs, era, alive, mp_iters = carry
+            it, en, msgs, alive, mp_iters = carry
             return (it < dcfg.max_iter) & alive
 
         def body(carry):
-            it, en, msgs, era, alive, mp_iters = carry
-            en, msgs, era, active = one_iteration(it, en, msgs, era)
+            it, en, msgs, alive, mp_iters = carry
+            en, msgs, active = one_iteration(it, en, msgs)
             mp_iters = mp_iters + active.astype(jnp.int32)
-            return it + 1, en, msgs, era, jnp.any(active), mp_iters
+            return it + 1, en, msgs, jnp.any(active), mp_iters
 
-        carry = (jnp.int32(0), en, msgs, era, mp_iters.sum() == 0, mp_iters)
-        _, en, msgs, era, _, mp_iters = jax.lax.while_loop(cond, body, carry)
+        carry = (jnp.int32(0), en, msgs, mp_iters.sum() == 0, mp_iters)
+        _, en, msgs, _, mp_iters = jax.lax.while_loop(cond, body, carry)
 
         hard = syn.hard_decision(en)
         bf_rounds = jnp.zeros((batch,), jnp.int32)
