@@ -43,8 +43,8 @@ SAT_POS_MSG = 7
 
 
 def supports(dcfg: DecoderConfig) -> bool:
-    """Configs the fused kernel covers (else use the XLA path)."""
-    return dcfg.ef_elimination != 2
+    """Configs the fused kernel covers (all of them as of EF=2 support)."""
+    return True
 
 
 def _style_for(dcfg: DecoderConfig) -> str:
@@ -76,6 +76,7 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int):
     stop_early = dcfg.stop_early
     selective = style == "oms" and dcfg.oms_mode == 1
     use_ef = style == "faid" and dcfg.ef_elimination >= 1
+    use_ef2 = style == "faid" and dcfg.ef_elimination == 2
     z = code.z
     n_rows = code.n_block_rows
     entry_offsets = np.concatenate([[0], np.cumsum(code.degrees_np)])
@@ -84,6 +85,13 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int):
          for e in range(code.degrees[r])]
         for r in range(n_rows)
     ]
+    # Block-column adjacency for the EF=2 flip-vote computation:
+    # votes_col[c] = sum over (r, s) of roll(unsat[r], +s); the column
+    # weight is the adjacency length (uniform within a QC block column).
+    col_edges = {}
+    for r in range(n_rows):
+        for c, sh in edges[r]:
+            col_edges.setdefault(c, []).append((r, sh))
 
     def syndrome_row(en_ref, r):
         """[BT, Z] bool: CN r unsatisfied, from sign(en) > 0.
@@ -102,7 +110,7 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int):
         return mag
 
     def row_update(en_ref, msgs_ref, lut_refs, it, r, active, l_checksum,
-                   l_m_err, in_floor):
+                   l_m_err, in_floor, unsat_rows=None, era_ref=None):
         deg = len(edges[r])
         odd = bool(deg & 1)
         lo = int(entry_offsets[r])
@@ -118,6 +126,27 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int):
 
         if style == "faid":
             vcs = [jnp.minimum(v, SAT_POS_VAR) for v in vcs]
+            if use_ef2:
+                # One-shot per-VN erasure of flip-voted weight-3 columns
+                # (reference CDecoder_FAID.cpp:673-679): only the first
+                # edge visiting an eligible VN this iteration is zeroed;
+                # era marks it visited.
+                new_vcs = []
+                for e, (c, s) in enumerate(edges[r]):
+                    if len(col_edges[c]) != 3:
+                        new_vcs.append(vcs[e])
+                        continue
+                    votes_col = functools.reduce(jnp.add, [
+                        _roll(unsat_rows[rp].astype(jnp.int32), sp)
+                        for rp, sp in col_edges[c]])
+                    vote_al = _roll(votes_col, -s)
+                    era_al = _roll(era_ref[c].astype(jnp.int32), -s)
+                    m = ((vote_al >= 3) & l_m_err & in_floor
+                         & (era_al == 0))
+                    new_vcs.append(jnp.where(m, 0, vcs[e]))
+                    era_ref[c] = _roll(
+                        era_al | m.astype(jnp.int32), s).astype(jnp.int8)
+                vcs = new_vcs
             if dcfg.sign_backtrack:
                 negs = [jnp.where(vcs[e] == 0, vns[e], vcs[e]) < 0
                         for e in range(deg)]
@@ -188,9 +217,14 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int):
             en_ref[c] = jnp.where(active, _roll(en_new, s), en_ref[c])
 
     def kernel(*args):
+        era_ref = None
         if style == "faid":
-            (lut_ref, lut_ef_ref, llr_ref, en_out, iters_out,
-             msgs_ref, en32) = args
+            if use_ef2:
+                (lut_ref, lut_ef_ref, llr_ref, en_out, iters_out,
+                 msgs_ref, en32, era_ref) = args
+            else:
+                (lut_ref, lut_ef_ref, llr_ref, en_out, iters_out,
+                 msgs_ref, en32) = args
             lut_refs = (lut_ref, lut_ef_ref)
         else:
             llr_ref, en_out, iters_out, msgs_ref, en32 = args
@@ -224,9 +258,14 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int):
 
             @pl.when(any_active)
             def _():
+                if use_ef2:
+                    # erase flags reset at the top of every iteration
+                    # (reference CDecoder_FAID.cpp:624-628)
+                    era_ref[...] = jnp.zeros(era_ref.shape, era_ref.dtype)
                 for r in range(n_rows):
                     row_update(en32, msgs_ref, lut_refs, it, r, active,
-                               unsat_rows[r], l_m_err, in_floor)
+                               unsat_rows[r], l_m_err, in_floor,
+                               unsat_rows=unsat_rows, era_ref=era_ref)
                 iters_out[...] = iters_out[...] + active.astype(jnp.int32)
 
             return 0
@@ -293,8 +332,12 @@ def make_mp_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
                 jax.ShapeDtypeStruct((c_blocks, b, z), jnp.int8, **vkw),
                 jax.ShapeDtypeStruct((b, 1), jnp.int32, **vkw),
             ),
-            scratch_shapes=[pltpu.VMEM((n_entries, bt, z), jnp.int8),
-                            pltpu.VMEM((c_blocks, bt, z), jnp.int32)],
+            scratch_shapes=(
+                [pltpu.VMEM((n_entries, bt, z), jnp.int8),
+                 pltpu.VMEM((c_blocks, bt, z), jnp.int32)]
+                + ([pltpu.VMEM((c_blocks, bt, z), jnp.int8)]
+                   if (style == "faid" and dcfg.ef_elimination == 2)
+                   else [])),
             interpret=interpret,
         )(*lut_args, llr_cbz)
         return en, iters.reshape(b)

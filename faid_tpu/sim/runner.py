@@ -170,6 +170,16 @@ class MonteCarloRunner:
                          list(self._state["err_chunks"]))
 
     def run(self, progress=None) -> list[SnrResult]:
+        try:
+            return self._run(progress)
+        except KeyboardInterrupt:
+            # Partial progress survives: the next run with the same
+            # checkpoint path resumes mid-SNR-point (reference parity:
+            # Temp.txt seeds let a killed sweep continue, main.cpp:200).
+            self._save_checkpoint()
+            raise
+
+    def _run(self, progress=None) -> list[SnrResult]:
         pts = snr_points(self.cfg)
         while self._state["snr_idx"] < len(pts):
             i = self._state["snr_idx"]

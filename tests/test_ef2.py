@@ -51,3 +51,16 @@ def test_ef2_changes_behavior(rng):
     h2 = np.asarray(dec2(jnp.asarray(llr))["hard"])
     h0 = np.asarray(dec0(jnp.asarray(llr))["hard"])
     assert (h2 != h0).any()
+
+
+def test_ef2_pallas_matches_xla(rng):
+    code = toy_code()
+    dcfg = ef2_cfg()
+    ref = jax.jit(build_decoder(code, dcfg, backend="xla"))
+    pal = jax.jit(build_decoder(code, dcfg, backend="pallas",
+                                interpret=True, pallas_bt=32))
+    llr = rng.integers(-7, 8, size=(64, code.n_var)).astype(np.int8)
+    a = jax.tree.map(np.asarray, ref(jnp.asarray(llr)))
+    b = jax.tree.map(np.asarray, pal(jnp.asarray(llr)))
+    np.testing.assert_array_equal(a["hard"], b["hard"])
+    np.testing.assert_array_equal(a["mp_iters"], b["mp_iters"])
