@@ -39,6 +39,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--min-frame-errors", type=int)
     ap.add_argument("--fake-encode", action="store_true",
                     help="all-zero codeword path (reference FAKE_ENCODE)")
+    ap.add_argument("--lut-family", type=str, default=None,
+                    choices=["faid3", "faid32", "faid2"],
+                    help="FAID V2C LUT family for method 2 "
+                         "(reference #define FAID3/FAID32/FAID2)")
     ap.add_argument("--max-rounds", type=int, default=100000,
                     help="safety cap on MC rounds per SNR point")
     ap.add_argument("--collect-errors", action="store_true",
@@ -93,6 +97,8 @@ def config_from_args(args) -> "SimConfig":
         over["fake_encode"] = True
     if args.backend is not None:
         over["backend"] = args.backend
+    if args.lut_family is not None:
+        over["faid_lut"] = args.lut_family
     return dataclasses.replace(cfg, **over)
 
 

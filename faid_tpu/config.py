@@ -69,8 +69,14 @@ class DecoderConfig:
 
     @staticmethod
     def for_method(method: DecodeMethod, max_iter: int = 6,
-                   factor_1: int = 1, factor_2: int = 6) -> "DecoderConfig":
-        """Reproduce each reference decoder's compiled-in configuration."""
+                   factor_1: int = 1, factor_2: int = 6,
+                   lut_family: "FaidLutFamily | None" = None) -> "DecoderConfig":
+        """Reproduce each reference decoder's compiled-in configuration.
+
+        ``lut_family`` overrides the FAID V2C table selection (the
+        reference's #define FAID3/FAID32/FAID2, CDecoder_FAID.cpp:8);
+        ignored for non-FAID methods and for 2B1C (which has its own
+        table set)."""
         m = DecodeMethod(method)
         base = dict(method=m, max_iter=max_iter,
                     factor_1=factor_1, factor_2=factor_2)
@@ -89,7 +95,7 @@ class DecoderConfig:
             return DecoderConfig(**base, oms_mode=0, oms_offset=0,
                                  ef_elimination=0, floor_err_count=0,
                                  floor_iter_thresh=-1,
-                                 lut_family=FaidLutFamily.FAID3,
+                                 lut_family=lut_family or FaidLutFamily.FAID3,
                                  bf=BFConfig(kind="dtbf", max_iter=10,
                                              delta=1, l0=50, l1=0, alpha=1))
         if m == DecodeMethod.OMS_BF:
@@ -133,6 +139,9 @@ class SimConfig:
     file_name: str = "50GPON-CP12"
     z: int = 256
     fake_encode: bool = False   # all-zero codeword path (FAKE_ENCODE)
+    # FAID LUT family for DecodeMethod 2 ("faid3" | "faid32" | "faid2",
+    # the reference's #define FAID3/FAID32/FAID2).
+    faid_lut: str = "faid3"
     seed: int = 0
     # Monte-Carlo stopping rule (reference main.cpp:164, 209-211).
     min_frames: int = 1000
@@ -161,7 +170,8 @@ class SimConfig:
 
     def decoder(self) -> DecoderConfig:
         return DecoderConfig.for_method(
-            self.decode_method, self.max_iteration, self.factor_1, self.factor_2)
+            self.decode_method, self.max_iteration, self.factor_1,
+            self.factor_2, lut_family=FaidLutFamily(self.faid_lut))
 
     def sigma(self) -> float:
         """Noise sigma from Eb/N0 (reference CSimulate.cpp:70-74; BPSK has

@@ -43,3 +43,16 @@ def test_configs_hashable():
     # jit-static requirement
     hash(SimConfig())
     hash(DecoderConfig.for_method(DecodeMethod.FAID_DTBF))
+
+
+def test_lut_family_plumbing():
+    from faid_tpu.config import FaidLutFamily
+
+    cfg = SimConfig(decode_method=DecodeMethod.FAID_DTBF, faid_lut="faid32")
+    assert cfg.decoder().lut_family == FaidLutFamily.FAID32
+    # non-FAID methods ignore the override
+    cfg2 = SimConfig(decode_method=DecodeMethod.OMS, faid_lut="faid2")
+    assert cfg2.decoder().method == DecodeMethod.OMS
+    # 2B1C keeps its own tables
+    cfg3 = SimConfig(decode_method=DecodeMethod.FAID_2B1C, faid_lut="faid2")
+    assert cfg3.decoder().lut_family == FaidLutFamily.FAID_2B1C

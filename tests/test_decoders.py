@@ -96,3 +96,19 @@ def test_nms_has_no_early_stop(code):
     llr = jnp.full((1, code.n_var), -7, jnp.int8)
     out = jax.tree.map(np.asarray, dec(llr))
     assert (out["mp_iters"] == 4).all()
+
+
+@pytest.mark.parametrize("family", ["faid32", "faid2"])
+def test_bit_exact_other_lut_families(code, rng, family):
+    """FAID32/FAID2 LUT families (reference #define alternatives)."""
+    from faid_tpu.config import FaidLutFamily
+
+    dcfg = DecoderConfig.for_method(DecodeMethod.FAID_DTBF, max_iter=2,
+                                    lut_family=FaidLutFamily(family))
+    dcfg = dataclasses.replace(
+        dcfg, bf=dataclasses.replace(dcfg.bf, max_iter=2))
+    dec = jax.jit(build_decoder(code, dcfg))
+    llr = rng.integers(-7, 8, size=(1, code.n_var)).astype(np.int8)
+    out = jax.tree.map(np.asarray, dec(jnp.asarray(llr)))
+    g = decode_golden(llr[0], code, dcfg)
+    np.testing.assert_array_equal(out["hard"][0].astype(np.uint8), g["hard"])
