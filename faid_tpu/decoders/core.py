@@ -181,25 +181,27 @@ def _build_pallas_decoder(code: QCCode, dcfg: DecoderConfig,
         raise ValueError(
             f"pallas backend does not support this config: {dcfg}")
 
+    if dcfg.bf.kind != "none":
+        # MP + BF fused in one kernel: decoder state never leaves VMEM.
+        def decode(llr: jnp.ndarray):
+            blocks = ingest_llrs(llr, code)
+            hard, mp_iters, bf_rounds = pk.decode_full_pallas(
+                blocks, code, dcfg, bt=bt, interpret=interpret)
+            return {"hard": hard, "mp_iters": mp_iters,
+                    "bf_rounds": bf_rounds}
+
+        return decode
+
     def decode(llr: jnp.ndarray):
         batch = llr.shape[0]
         blocks = ingest_llrs(llr, code)
         en, mp_iters = pk.decode_mp_pallas(blocks, code, dcfg, bt=bt,
                                            interpret=interpret)
         hard = syn.hard_decision(en)
-        bf_rounds = jnp.zeros((batch,), jnp.int32)
-        kind = dcfg.bf.kind
-        if kind == "static":
-            hard, bf_rounds = bf_mod.run_static_bf(hard, code, dcfg.bf)
-        elif kind == "dtbf":
-            hard, bf_rounds = bf_mod.run_dtbf(hard, code, dcfg.bf)
-        elif kind == "dtbf2b1c":
-            hard, bf_rounds = bf_mod.run_dtbf(hard, code, dcfg.bf,
-                                              two_bit=True, llr=en)
         return {
             "hard": hard.reshape(batch, code.n_var),
             "mp_iters": mp_iters,
-            "bf_rounds": bf_rounds,
+            "bf_rounds": jnp.zeros((batch,), jnp.int32),
         }
 
     return decode

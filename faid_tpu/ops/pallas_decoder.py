@@ -18,9 +18,15 @@ Numerics are bit-identical to ops/cn_update.py (verified by
 tests/test_pallas.py): int32 arithmetic with explicit saturation bounds,
 the same min1/min2 recurrence, LUT select chain, and sign algebra.
 
-Supported: styles nms / oms (mode 0 and selective mode 1) / faid with
-ef_elimination 0 or 1 - i.e. every reference decode method except the
-EF=2 erasure experiment, which falls back to the XLA path.
+Coverage: every reference decode method and knob - styles nms / oms
+(mode 0 and selective mode 1) / faid (EF 0/1/2, all LUT families), and
+the BF post-processors (static / DTBF / 2B1C) fused into the same kernel
+(``make_full_decoder``), so a complete decode never leaves VMEM.
+
+Mosaic constraints encoded here: lane rotates and vector compares must
+be int32 (no int8 rotate/cmp); (BT,1) bool vectors can't ride a
+while_loop carry (carry int32 flags); select over bool vectors is
+avoided (int32 selects only).
 """
 
 from __future__ import annotations
@@ -68,7 +74,8 @@ def _clip8(x):
     return jnp.clip(x, -128, 127)
 
 
-def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int):
+def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
+                 fuse_bf: bool = False):
     style = _style_for(dcfg)
     f1, f2 = dcfg.factor_1, dcfg.factor_2
     off = dcfg.oms_offset
@@ -216,19 +223,150 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int):
             ).astype(jnp.int8)
             en_ref[c] = jnp.where(active, _roll(en_new, s), en_ref[c])
 
-    def kernel(*args):
-        era_ref = None
-        if style == "faid":
-            if use_ef2:
-                (lut_ref, lut_ef_ref, llr_ref, en_out, iters_out,
-                 msgs_ref, en32, era_ref) = args
+    # ---- fused BF post-processor (static / DTBF / 2B1C) ----------------
+    b = dcfg.bf
+    two_bit = b.kind == "dtbf2b1c"
+    c_blocks = code.n_var // z
+    eligible_cols = [c for c in range(c_blocks)
+                     if len(col_edges.get(c, ())) == b.gamma]
+
+    def hard_syndrome(hard_ref, r):
+        acc = None
+        for c, sh in edges[r]:
+            h = _roll(hard_ref[c].astype(jnp.int32), -sh) > 0
+            acc = h if acc is None else jnp.logical_xor(acc, h)
+        return acc
+
+    def col_votes(unsat32, c):
+        return functools.reduce(jnp.add, [
+            _roll(unsat32[rp], sp) for rp, sp in col_edges[c]])
+
+    def bf_tail(en32, hard, hard_ch, hard2):
+        """Runs after MP; returns bf_rounds [BT, 1] int32.  Semantics are
+        identical to decoders/bf.py (syndrome at round top, per-frame
+        freeze, dynamic-threshold machine; reference
+        CDecoder_FAID.cpp:6782-6816, CDecoder_OMSBF.cpp:2969-3510)."""
+        for c in range(c_blocks):
+            hard[c] = (en32[c] > 0).astype(jnp.int8)
+        hard_ch[...] = hard[...]
+        if two_bit:
+            thr = b.reliability_threshold
+            for c in range(c_blocks):
+                hard2[c] = ((en32[c] >= thr) | (en32[c] <= -thr)
+                            ).astype(jnp.int8)
+
+        def cond(carry):
+            i, Th, l0, l1, t, rounds, go = carry
+            return (i < b.max_iter) & go
+
+        def body(carry):
+            i, Th, l0, l1, t32, rounds, go = carry
+            t = t32 != 0   # Mosaic: no i1-vector while carries
+            unsat32 = [hard_syndrome(hard, r).astype(jnp.int32)
+                       for r in range(n_rows)]
+            count = functools.reduce(jnp.add, [
+                u.sum(axis=1, keepdims=True) for u in unsat32])
+            dirty = count > 0                           # [BT, 1]
+            rounds = rounds + dirty.astype(jnp.int32)
+
+            del t32
+            if b.kind == "static":
+                # flip every VN with votes >= min(max_vote, cap)
+                votes = {c: col_votes(unsat32, c) for c in range(c_blocks)}
+                max_vote = functools.reduce(
+                    jnp.maximum,
+                    [v.max(axis=1, keepdims=True) for v in votes.values()])
+                max_vote = jnp.maximum(max_vote, 1)
+                thresh = jnp.minimum(max_vote, b.static_vote_cap)
+                for c in range(c_blocks):
+                    flip = (votes[c] >= thresh) & dirty
+                    hard[c] = jnp.where(
+                        flip, 1 - hard[c].astype(jnp.int32),
+                        hard[c].astype(jnp.int32)).astype(jnp.int8)
+                Th_n, l0_n, l1_n = Th, l0, l1
+                t_n = t.astype(jnp.int32)
             else:
-                (lut_ref, lut_ef_ref, llr_ref, en_out, iters_out,
-                 msgs_ref, en32) = args
-            lut_refs = (lut_ref, lut_ef_ref)
+                # DTBF threshold machine (decoders/bf.py:_dtbf_threshold)
+                Th2 = jnp.where(t, Th, Th - b.delta)
+                max_th = t & (l0 < b.l0)
+                Th2 = jnp.where(max_th, b.gamma + b.alpha, Th2)
+                l0_u = l0 + max_th.astype(jnp.int32)
+                submax = t & ~max_th & (l1 < b.l1)
+                Th2 = jnp.where(submax, b.gamma + b.alpha - b.delta, Th2)
+                l1_u = l1 + submax.astype(jnp.int32)
+                ssub = t & ~max_th & ~submax
+                Th2 = jnp.where(ssub, b.gamma + b.alpha - 2 * b.delta, Th2)
+                Th2 = jnp.maximum(Th2, 1)
+
+                any_flip = jnp.zeros((bt, 1), jnp.bool_) & dirty
+                big = Th2 >= b.gamma                    # [BT, 1] (2B1C)
+                for c in eligible_cols:
+                    votes_c = col_votes(unsat32, c)
+                    # int8 vector cmp is unsupported by Mosaic (and it
+                    # folds widened compares back to i8); bits are 0/1,
+                    # so |a-b| is the disagreement without any compare.
+                    disagree = jnp.abs(hard[c].astype(jnp.int32)
+                                       - hard_ch[c].astype(jnp.int32))
+                    score = votes_c + b.alpha * disagree
+                    flip = (score >= Th2) & dirty
+                    any_flip = any_flip | flip.any(axis=1, keepdims=True)
+                    h32 = hard[c].astype(jnp.int32)
+                    if two_bit:
+                        h2 = hard2[c].astype(jnp.int32)
+                        do_flip = flip & (big | (h2 == 0))
+                        demote = flip & ~big & (h2 == 1)
+                        hard[c] = jnp.where(do_flip, 1 - h32, h32
+                                            ).astype(jnp.int8)
+                        h2n = jnp.where(flip & big, 1 - h2, h2)
+                        h2n = jnp.where(demote, 0, h2n)
+                        hard2[c] = h2n.astype(jnp.int8)
+                    else:
+                        hard[c] = jnp.where(flip, 1 - h32, h32
+                                            ).astype(jnp.int8)
+                # frozen (clean) frames keep their machine state.
+                # Selects stay in int32: Mosaic cannot lower select_n
+                # over (32,1) i1 vectors (i8->i1 truncation unsupported).
+                Th_n = jnp.where(dirty, Th2, Th)
+                l0_n = jnp.where(dirty, l0_u, l0)
+                l1_n = jnp.where(dirty, l1_u, l1)
+                t_n = jnp.where(dirty, any_flip.astype(jnp.int32),
+                                t.astype(jnp.int32))
+            return (i + 1, Th_n, l0_n, l1_n, t_n.astype(jnp.int32),
+                    rounds, jnp.any(dirty))
+
+        z1 = jnp.zeros((bt, 1), jnp.int32)
+        carry = (jnp.int32(0), z1 + b.gamma, z1, z1, z1 + 1, z1,
+                 jnp.bool_(True))
+        out = jax.lax.while_loop(cond, body, carry)
+        return out[5]
+
+    def kernel(*args):
+        # Argument layout: [lut, lut_ef]? , llr, <outputs>, <scratches>.
+        # Outputs: fused -> (hard_out, iters_out, bf_out); else
+        # (en_out, iters_out).  Scratches: msgs, en32, era?, hard?,
+        # hard_ch?, hard2? in that order (see make_*_decoder).
+        args = list(args)
+        lut_refs = None
+        if style == "faid":
+            lut_refs = (args.pop(0), args.pop(0))
+        llr_ref = args.pop(0)
+        if fuse_bf:
+            hard_out = args.pop(0)
+            iters_out = args.pop(0)
+            bf_out = args.pop(0)
         else:
-            llr_ref, en_out, iters_out, msgs_ref, en32 = args
-            lut_refs = None
+            en_out = args.pop(0)
+            iters_out = args.pop(0)
+        msgs_ref = args.pop(0)
+        en32 = args.pop(0)
+        era_ref = args.pop(0) if use_ef2 else None
+        hard_scr = hard_ch_scr = hard2_scr = None
+        if fuse_bf:
+            hard_scr = args.pop(0)
+            hard_ch_scr = args.pop(0)
+            if two_bit:
+                hard2_scr = args.pop(0)
+        assert not args, len(args)
 
         # Working state lives in VMEM as int32 for the whole decode -
         # `en` is read three times per edge per iteration, and keeping it
@@ -271,7 +409,12 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int):
             return 0
 
         jax.lax.fori_loop(0, max_iter, iteration, 0)
-        en_out[...] = en32[...].astype(jnp.int8)
+        if fuse_bf:
+            bf_out[...] = bf_tail(en32, hard_scr, hard_ch_scr, hard2_scr)
+            for c in range(c_blocks):
+                hard_out[c] = hard_scr[c]
+        else:
+            en_out[...] = en32[...].astype(jnp.int8)
 
     return kernel
 
@@ -343,6 +486,89 @@ def make_mp_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
         return en, iters.reshape(b)
 
     return mp
+
+
+@functools.lru_cache(maxsize=32)
+def make_full_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
+                      interpret: bool = False):
+    """Fully-fused decoder: MP iterations + BF post-processor in ONE
+    kernel; returns full(llr_cbz [C, B, Z] int8) ->
+    (hard [C, B, Z] int8, mp_iters [B] int32, bf_rounds [B] int32).
+    Requires dcfg.bf.kind != 'none' (use make_mp_decoder otherwise)."""
+    if dcfg.bf.kind == "none":
+        raise ValueError("no BF post-processor in this config")
+    style = _style_for(dcfg)
+    c_blocks = code.n_block_cols
+    z = code.z
+    n_entries = int(code.degrees_np.sum())
+    use_ef2 = style == "faid" and dcfg.ef_elimination == 2
+    two_bit = dcfg.bf.kind == "dtbf2b1c"
+    kernel = _make_kernel(code, dcfg, bt, fuse_bf=True)
+
+    lut_args = ()
+    num_lut = 0
+    if style == "faid":
+        lut = np.asarray(
+            luts.table_for(dcfg.lut_family, dcfg.max_iter), np.int32)
+        lut_ef = np.asarray(luts.ef_table(dcfg.max_iter), np.int32)
+        lut_args = (lut, lut_ef)
+        num_lut = 2
+
+    scratch = [pltpu.VMEM((n_entries, bt, z), jnp.int8),
+               pltpu.VMEM((c_blocks, bt, z), jnp.int32)]
+    if use_ef2:
+        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
+    scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard
+    scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard_ch
+    if two_bit:
+        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
+
+    def full(llr_cbz: jax.Array):
+        b = llr_cbz.shape[1]
+        assert b % bt == 0, (b, bt)
+        try:
+            vma = jax.typeof(llr_cbz).vma or None
+        except Exception:
+            vma = None
+        vkw = {"vma": vma} if vma else {}
+        hard, iters, bf = pl.pallas_call(
+            kernel,
+            grid=(b // bt,),
+            in_specs=(
+                [pl.BlockSpec(memory_space=pltpu.SMEM)] * num_lut
+                + [pl.BlockSpec((c_blocks, bt, z), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)]),
+            out_specs=(
+                pl.BlockSpec((c_blocks, bt, z), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((c_blocks, b, z), jnp.int8, **vkw),
+                jax.ShapeDtypeStruct((b, 1), jnp.int32, **vkw),
+                jax.ShapeDtypeStruct((b, 1), jnp.int32, **vkw),
+            ),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*lut_args, llr_cbz)
+        return hard, iters.reshape(b), bf.reshape(b)
+
+    return full
+
+
+def decode_full_pallas(llr_blocks: jax.Array, code: QCCode,
+                       dcfg: DecoderConfig, bt: int = 32,
+                       interpret: bool = False):
+    """llr_blocks [B, C, Z] int8 (ingested) -> (hard [B, n_var] bool,
+    mp_iters [B], bf_rounds [B]) with MP + BF fused in one kernel."""
+    full = make_full_decoder(code, dcfg, bt=bt, interpret=interpret)
+    hard, iters, bf = full(jnp.transpose(llr_blocks, (1, 0, 2)))
+    hard = jnp.transpose(hard, (1, 0, 2)).reshape(
+        llr_blocks.shape[0], code.n_var).astype(jnp.bool_)
+    return hard, iters, bf
 
 
 def decode_mp_pallas(llr_blocks: jax.Array, code: QCCode,
