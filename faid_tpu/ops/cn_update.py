@@ -21,7 +21,7 @@ Numerics are exact int8 fixed point: see ops/fixed_point.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any
 
 import jax.numpy as jnp
 

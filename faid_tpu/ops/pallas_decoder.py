@@ -32,8 +32,6 @@ avoided (int32 selects only).
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,7 +18,6 @@ and the pre-decoder ``ModCalErr`` counter (CModulate.cpp:382-491):
 
 from __future__ import annotations
 
-import math
 from typing import Callable
 
 import jax
