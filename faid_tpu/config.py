@@ -65,12 +65,22 @@ class DecoderConfig:
     floor_iter_thresh: int = 4  # selective/EF gate on remaining iterations
     lut_family: FaidLutFamily = FaidLutFamily.FAID3
     sign_backtrack: bool = True  # FAID2_SIGN_BACKTRACK
+    # Early-stop granularity.  "frame": each frame freezes individually
+    # once its syndrome is clean (TPU-friendly default; the group-size-1
+    # limit of the reference rule).  "group": reference semantics — the
+    # whole batch keeps updating until every frame is clean (the
+    # reference breaks per 32-frame SIMD word, CDecoder_OMS.cpp:325-327,
+    # CDecoder_FAID.cpp:6782-6784).  Use "group" with batch=32 for
+    # bit-exact comparison against the reference binary
+    # (scripts/refcheck/).
+    stop_mode: str = "frame"
     bf: BFConfig = BFConfig()
 
     @staticmethod
     def for_method(method: DecodeMethod, max_iter: int = 6,
                    factor_1: int = 1, factor_2: int = 6,
-                   lut_family: "FaidLutFamily | None" = None) -> "DecoderConfig":
+                   lut_family: "FaidLutFamily | None" = None,
+                   stop_mode: str = "frame") -> "DecoderConfig":
         """Reproduce each reference decoder's compiled-in configuration.
 
         ``lut_family`` overrides the FAID V2C table selection (the
@@ -79,7 +89,8 @@ class DecoderConfig:
         table set)."""
         m = DecodeMethod(method)
         base = dict(method=m, max_iter=max_iter,
-                    factor_1=factor_1, factor_2=factor_2)
+                    factor_1=factor_1, factor_2=factor_2,
+                    stop_mode=stop_mode)
         if m == DecodeMethod.NMS:
             # CLDPC.cpp Decode(): no early stop, plain NMS.
             return DecoderConfig(**base, oms_mode=0, stop_early=False,

@@ -35,10 +35,16 @@ def _weight_mask(code: QCCode, gamma: int) -> jnp.ndarray:
     return jnp.asarray(code.vn_weight_blocks_np == gamma)
 
 
-def run_static_bf(hard: jnp.ndarray, code: QCCode, cfg: BFConfig):
+def run_static_bf(hard: jnp.ndarray, code: QCCode, cfg: BFConfig,
+                  group: bool = False):
     """Static-threshold BF (reference CDecoder_OMSBF.cpp:2969-3510):
     flip every VN whose vote >= min(max_vote, cap).  Returns
-    (hard, rounds_used[batch])."""
+    (hard, rounds_used[batch]).
+
+    ``group=True`` reproduces the reference's batch-granularity early
+    stop: no per-frame gating — every lane keeps being processed until
+    the global break (all lanes clean).  The while_loop cond already
+    guarantees some frame is dirty inside the body."""
 
     def cond(carry):
         i, hard, rounds = carry
@@ -49,7 +55,7 @@ def run_static_bf(hard: jnp.ndarray, code: QCCode, cfg: BFConfig):
         i, hard, rounds = carry
         unsat = syn.unsat_checks(hard, code)
         count = syn.error_count(unsat)
-        dirty = count > 0
+        dirty = (count >= 0) if group else (count > 0)
         votes = syn.flip_votes(unsat, code)
         # max_vote starts at 1 (CDecoder_OMSBF.cpp:2975).
         max_vote = jnp.maximum(votes.max(axis=(1, 2)), 1)
@@ -80,10 +86,16 @@ def _dtbf_threshold(Th, l0, l1, t, cfg: BFConfig):
 
 
 def run_dtbf(hard: jnp.ndarray, code: QCCode, cfg: BFConfig,
-             two_bit: bool = False, llr: jnp.ndarray | None = None):
+             two_bit: bool = False, llr: jnp.ndarray | None = None,
+             group: bool = False):
     """Dynamic-threshold BF; ``two_bit`` enables the 2B1C state machine
     (needs ``llr`` = post-MP LLRs to seed the reliability bit).
-    Returns (hard, rounds_used[batch])."""
+    Returns (hard, rounds_used[batch]).
+
+    ``group=True``: reference batch-granularity semantics — the
+    threshold machine and the flip sweep run on every lane each round
+    until the global break (CDecoder_FAID.cpp:6782-7086 has no per-lane
+    dirty gating; only the break is global)."""
     hard_ch = hard  # DTBF anchors on the post-MP hard decision
     eligible = _weight_mask(code, cfg.gamma)[None]
 
@@ -109,7 +121,7 @@ def run_dtbf(hard: jnp.ndarray, code: QCCode, cfg: BFConfig,
         i, hard, hard2, Th, l0, l1, t, rounds = carry
         unsat = syn.unsat_checks(hard, code)
         count = syn.error_count(unsat)
-        dirty = count > 0
+        dirty = (count >= 0) if group else (count > 0)
         votes = syn.flip_votes(unsat, code)
 
         Th2, l0n, l1n = _dtbf_threshold(Th, l0, l1, t, cfg)

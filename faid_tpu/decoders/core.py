@@ -111,9 +111,12 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
         in_floor = jnp.asarray(remaining <= dcfg.floor_iter_thresh)
 
         en_new, msgs_new = en, msgs
-        era_new = (jnp.zeros((en.shape[0], code.n_block_cols, code.z),
-                             jnp.bool_) | (vma.batch_zeros(en) != 0)[:, None, None]
-                   if needs_votes else jnp.zeros((1,), jnp.bool_))
+        if needs_votes:
+            era_new = (jnp.zeros((en.shape[0], code.n_block_cols, code.z),
+                                 jnp.bool_)
+                       | (vma.batch_zeros(en) != 0)[:, None, None])
+        else:
+            era_new = jnp.zeros((1,), jnp.bool_)
         for r in range(code.n_block_rows):
             lo, hi = int(entry_offsets[r]), int(entry_offsets[r + 1])
             ctx = cn_update.RowCtx(
@@ -124,8 +127,15 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
             msgs_new = msgs_new.at[:, lo:hi, :].set(m_r)
 
         # Freeze frames that were already clean at the iteration top.
+        # stop_mode "group" reproduces the reference exactly: the break
+        # happens only when the *whole* SIMD word is clean, so clean
+        # frames keep updating while any group member is dirty
+        # (CDecoder_OMS.cpp:325-327).
         if needs_sweep:
-            a3 = active[:, None, None]
+            if dcfg.stop_mode == "group":
+                a3 = jnp.any(active)
+            else:
+                a3 = active[:, None, None]
             en_new = jnp.where(a3, en_new, en)
             msgs_new = jnp.where(a3, msgs_new, msgs)
         return en_new, msgs_new, active
@@ -157,13 +167,17 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
         hard = syn.hard_decision(en)
         bf_rounds = jnp.zeros((batch,), jnp.int32)
         kind = dcfg.bf.kind
+        group = dcfg.stop_mode == "group"
         if kind == "static":
-            hard, bf_rounds = bf_mod.run_static_bf(hard, code, dcfg.bf)
+            hard, bf_rounds = bf_mod.run_static_bf(hard, code, dcfg.bf,
+                                                   group=group)
         elif kind == "dtbf":
-            hard, bf_rounds = bf_mod.run_dtbf(hard, code, dcfg.bf)
+            hard, bf_rounds = bf_mod.run_dtbf(hard, code, dcfg.bf,
+                                              group=group)
         elif kind == "dtbf2b1c":
             hard, bf_rounds = bf_mod.run_dtbf(hard, code, dcfg.bf,
-                                              two_bit=True, llr=en)
+                                              two_bit=True, llr=en,
+                                              group=group)
         return {
             "hard": hard.reshape(batch, code.n_var),
             "mp_iters": mp_iters,

@@ -32,12 +32,36 @@ TABLE_256QAM = np.array(
 _TABLES = {2: TABLE_QPSK, 4: TABLE_16QAM, 6: TABLE_64QAM, 8: TABLE_256QAM}
 
 # Max-log demap folding constants, reference CModulate.cpp:290-353.
+# Kept as Python floats (doubles): the reference subtracts the *double*
+# literal from a float and narrows the result to float
+# (`fabs(x) - 0.6324555`, CModulate.cpp:291) - see _fold_sub.
 _FOLD = {
     2: [],
     4: [0.6324555],
     6: [0.6172134, 0.3086067],
     8: [0.613568, 0.306784, 0.153392],
 }
+
+
+def _fold_sub(x: jnp.ndarray, const: float) -> jnp.ndarray:
+    """float32(float64(x) - const) computed entirely in float32.
+
+    The reference's fold step is `fabs(x) - <double literal>` narrowed
+    to float on store (CModulate.cpp:270-362).  A plain float32 subtract
+    of the rounded constant differs in the last ULP ~50% of the time,
+    which flips a 4-bit quantizer output about 2e-6 of the time - enough
+    to break bit-exactness against the reference binary.  Split the
+    constant into hi+lo float32 parts and compensate the subtraction
+    (TwoSum), which reproduces the double-narrowed result exactly
+    (0 mismatches over 6x10M boundary-dense samples; gated by
+    tests/test_refbinary.py::test_modem_parity)."""
+    c_hi = np.float32(const)
+    c_lo = np.float32(const - float(c_hi))
+    b = jnp.float32(-c_hi)
+    s = x + b
+    bb = s - x
+    err = (x - (s - bb)) + (b - bb)
+    return s + (err - jnp.float32(c_lo))
 
 
 def interleave(bits: jnp.ndarray, depth: int) -> jnp.ndarray:
@@ -84,7 +108,7 @@ def demodulate_qam(sym: jnp.ndarray, mod_type: int) -> jnp.ndarray:
     outs = [sym]  # level 0: (I, Q)
     prev = sym
     for const in _FOLD[mod_type]:
-        prev = jnp.abs(prev) - jnp.float32(const)
+        prev = _fold_sub(jnp.abs(prev), const)
         outs.append(prev)
     # Stack level-major then interleave: output order per symbol is
     # [I0, Q0, I1, Q1, ...] matching DemodSeq layout.

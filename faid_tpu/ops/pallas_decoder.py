@@ -47,7 +47,22 @@ SAT_POS_MSG = 7
 
 
 def supports(dcfg: DecoderConfig) -> bool:
-    """Configs the fused kernel covers (all of them as of EF=2 support)."""
+    """Real capability check for the fused kernel (the 'auto' backend
+    gate in decoders/core.py falls back to xla when this is False).
+
+    Covered: every reference decode method and knob - styles nms/oms
+    (modes 0/1) / faid (EF 0/1/2, all LUT families) and all BF kinds.
+    Not covered: stop_mode='group' (the kernel freezes per frame; the
+    group-granularity reference emulation is an xla-only validation
+    mode)."""
+    if dcfg.stop_mode != "frame":
+        return False
+    if _style_for(dcfg) not in ("nms", "oms", "faid"):
+        return False
+    if dcfg.oms_mode not in (0, 1) or dcfg.ef_elimination not in (0, 1, 2):
+        return False
+    if dcfg.bf.kind not in ("none", "static", "dtbf", "dtbf2b1c"):
+        return False
     return True
 
 
