@@ -45,6 +45,15 @@ def build_argparser() -> argparse.ArgumentParser:
                          "(reference #define FAID3/FAID32/FAID2)")
     ap.add_argument("--max-rounds", type=int, default=100000,
                     help="safety cap on MC rounds per SNR point")
+    ap.add_argument("--max-frames-per-snr", type=int, default=None,
+                    help="hard per-SNR-point frame budget (sweep economics)")
+    ap.add_argument("--giveup-zero-error-frames", type=int, default=None,
+                    help="abandon an SNR point still at zero errors after "
+                         "this many frames (records an FER upper bound)")
+    ap.add_argument("--stop-mode", type=str, default=None,
+                    choices=["frame", "group"],
+                    help="early-stop granularity: per frame (default) or "
+                         "per 32-frame group (reference emulation)")
     ap.add_argument("--collect-errors", action="store_true",
                     help="always dump failing-frame forensics (otherwise "
                          "auto when FER < 1e-5, the reference collectflag)")
@@ -87,6 +96,9 @@ def config_from_args(args) -> "SimConfig":
         "scale": args.scale, "seed": args.seed,
         "batch_per_device": args.batch, "min_frames": args.min_frames,
         "min_frame_errors": args.min_frame_errors,
+        "max_frames_per_snr": args.max_frames_per_snr,
+        "giveup_zero_error_frames": args.giveup_zero_error_frames,
+        "stop_mode": args.stop_mode,
     }
     for k, v in amap.items():
         if v is not None:

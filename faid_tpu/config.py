@@ -157,6 +157,12 @@ class SimConfig:
     # Monte-Carlo stopping rule (reference main.cpp:164, 209-211).
     min_frames: int = 1000
     min_frame_errors: int = 20
+    # Sweep economics (no reference equivalent - it burns its full round
+    # budget on zero-error deep-floor points): hard per-SNR-point frame
+    # budget, and a give-up rule that abandons a point with zero errors
+    # after this many frames (the row then records an FER upper bound).
+    max_frames_per_snr: int | None = None
+    giveup_zero_error_frames: int | None = None
     # TPU batch geometry: frames decoded per device step, and how many
     # Monte-Carlo rounds run on-device between host syncs (the reference
     # dispatches 50 rounds per pthread, CSimulate.cpp:117).
@@ -164,6 +170,9 @@ class SimConfig:
     rounds_per_sync: int = 8
     # Decoder execution backend: auto | xla | pallas (decoders/core.py).
     backend: str = "auto"
+    # Early-stop granularity: "frame" (default) or "group" (reference
+    # 32-frame-word emulation; see DecoderConfig.stop_mode).
+    stop_mode: str = "frame"
     rate_override: float | None = 0.8444444  # reference CLDPC.cpp:4780
 
     @property
@@ -182,7 +191,8 @@ class SimConfig:
     def decoder(self) -> DecoderConfig:
         return DecoderConfig.for_method(
             self.decode_method, self.max_iteration, self.factor_1,
-            self.factor_2, lut_family=FaidLutFamily(self.faid_lut))
+            self.factor_2, lut_family=FaidLutFamily(self.faid_lut),
+            stop_mode=self.stop_mode)
 
     def sigma(self) -> float:
         """Noise sigma from Eb/N0 (reference CSimulate.cpp:70-74; BPSK has

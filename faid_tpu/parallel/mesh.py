@@ -35,7 +35,8 @@ def make_mesh(devices=None, axis: str = BATCH_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def build_sharded_sim_step(code: QCCode, cfg: SimConfig, mesh: Mesh) -> Callable:
+def build_sharded_sim_step(code: QCCode, cfg: SimConfig, mesh: Mesh,
+                           backend: str | None = None) -> Callable:
     """Returns step(key, sigma) -> dict of replicated int32 scalar counters.
 
     ``cfg.batch_per_device`` frames run on EACH device; the global batch is
@@ -44,7 +45,8 @@ def build_sharded_sim_step(code: QCCode, cfg: SimConfig, mesh: Mesh) -> Callable
     equivalent of the reference's per-thread seed table, CSimulate.cpp:11-17)
     and ``psum`` the counters.
     """
-    step = build_sim_step(code, cfg)
+    step = build_sim_step(code, cfg,
+                          backend=cfg.backend if backend is None else backend)
     axis = mesh.axis_names[0]
 
     def device_body(key: jax.Array, sigma: jax.Array) -> dict:

@@ -165,6 +165,10 @@ def build_debug_step(code: QCCode, cfg: SimConfig,
             "hard": out["hard"],
             "cw": cw,
             "llr": llr,
+            # Pre-quantizer float LLRs: the reference's errorfloat.txt
+            # dump (CLDPC.cpp:4877-4991 records the channel float of
+            # every erroneous bit).
+            "soft": soft.astype(jnp.float32),
         }
 
     return debug

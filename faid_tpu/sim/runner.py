@@ -16,8 +16,10 @@ step's noise is a pure function of ``fold_in(seed, snr_idx, round, device)``.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import time
+import warnings
 from pathlib import Path
 
 import jax
@@ -36,10 +38,29 @@ COUNTER_KEYS = (
 HIST_KEYS = ("mp_hist", "bf_hist")
 
 
+# Oldest error-bearing round ranges kept per SNR point: enough to replay
+# far more frames than any forensic dump asks for, while keeping
+# checkpoint.json bounded at low SNR where every chunk has errors.
+MAX_ERR_CHUNKS = 256
+
+
 def _add_counter(a, b):
     if isinstance(a, list):
+        if len(a) != len(b):
+            raise ValueError(
+                f"histogram length mismatch {len(a)} != {len(b)} - "
+                "checkpoint from an incompatible config?")
         return [x + y for x, y in zip(a, b)]
     return a + b
+
+
+def config_fingerprint(cfg: SimConfig) -> str:
+    """Stable hash of every result-affecting config field.  Stored in
+    checkpoints so resuming under a changed method/SNR-grid/batch starts
+    fresh instead of silently merging incompatible state."""
+    d = dataclasses.asdict(cfg)
+    blob = json.dumps(d, sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
 @dataclasses.dataclass
@@ -120,6 +141,13 @@ class MonteCarloRunner:
         st = json.loads(self.checkpoint_path.read_text())
         if st.get("seed") != self.cfg.seed:
             return  # different experiment; start fresh
+        fp = config_fingerprint(self.cfg)
+        if st.get("config_fingerprint", fp) != fp:
+            warnings.warn(
+                "checkpoint was written by a different simulation config "
+                f"(fingerprint {st['config_fingerprint']} != {fp}); "
+                "starting fresh", stacklevel=2)
+            return
         self._state = st["state"]
         self._state.setdefault("err_chunks", [])
         self.results = [SnrResult(r["snr_db"], r["counters"], r["seconds"],
@@ -129,7 +157,9 @@ class MonteCarloRunner:
     def _save_checkpoint(self):
         if not self.checkpoint_path:
             return
-        st = {"seed": self.cfg.seed, "state": self._state,
+        st = {"seed": self.cfg.seed,
+              "config_fingerprint": config_fingerprint(self.cfg),
+              "state": self._state,
               "results": [dataclasses.asdict(r) for r in self.results]}
         tmp = self.checkpoint_path.with_suffix(".tmp")
         tmp.write_text(json.dumps(st))
@@ -140,6 +170,21 @@ class MonteCarloRunner:
         return (c["test_frames"] >= self.cfg.min_frames
                 and c["error_frames"] >= self.cfg.min_frame_errors)
 
+    def _budget_exhausted(self, c: dict) -> bool:
+        """Sweep-economics early abort (the reference has none and burns
+        its full round budget on zero-error deep-floor points): a hard
+        per-point frame budget, plus a give-up rule once a point is
+        clearly past the waterfall (zero errors after N frames)."""
+        cfg = self.cfg
+        if (cfg.max_frames_per_snr is not None
+                and c["test_frames"] >= cfg.max_frames_per_snr):
+            return True
+        if (cfg.giveup_zero_error_frames is not None
+                and c["error_frames"] == 0
+                and c["test_frames"] >= cfg.giveup_zero_error_frames):
+            return True
+        return False
+
     def run_snr(self, snr_idx: int, snr_db: float,
                 progress=None) -> SnrResult:
         cfg = self.cfg
@@ -149,13 +194,15 @@ class MonteCarloRunner:
         t0 = time.monotonic()
         rnd = self._state["round"]
         sync = 0
-        while not self._stop_satisfied(c) and rnd < self.max_rounds_per_snr:
+        while (not self._stop_satisfied(c) and rnd < self.max_rounds_per_snr
+               and not self._budget_exhausted(c)):
             raw = self.loop(base, sigma, jnp.int32(rnd))
             stats = {k: (v.tolist() if getattr(v, "ndim", 0) else int(v))
                      for k, v in raw.items()}
             for k in c:
                 c[k] = _add_counter(c[k], stats[k])
-            if stats["error_frames"] > 0:
+            if (stats["error_frames"] > 0
+                    and len(self._state["err_chunks"]) < MAX_ERR_CHUNKS):
                 self._state["err_chunks"].append(
                     [rnd, rnd + self.rounds_per_sync])
             rnd += self.rounds_per_sync
@@ -235,8 +282,9 @@ class MonteCarloRunner:
         """Replay the rounds that produced frame errors and dump the exact
         failing frames - errorindex.txt (info-bit block+offset per Z
         circulant), errordecode.txt (decoded hard bits of the erroneous
-        positions) and errorllr.txt (their quantized channel LLRs), the
-        TPU equivalent of the reference's collectflag dumps
+        positions), errorllr.txt (their quantized channel LLRs) and
+        errorfloat.txt (their pre-quantizer float LLRs), the TPU
+        equivalent of the reference's collectflag dumps
         (CLDPC.cpp:4877-4991; main.cpp:190-192).  Exact because every
         round's noise is a pure function of (seed, snr_idx, device,
         round).  Returns the number of frames dumped."""
@@ -246,13 +294,15 @@ class MonteCarloRunner:
 
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
-        debug = jax.jit(build_debug_step(self.code, self.cfg))
+        debug = jax.jit(build_debug_step(self.code, self.cfg,
+                                         backend=self.cfg.backend))
         z = self.code.z
         n_info = self.code.n_info
         dumped = 0
         f_idx = open(out_dir / "errorindex.txt", "w")
         f_dec = open(out_dir / "errordecode.txt", "w")
         f_llr = open(out_dir / "errorllr.txt", "w")
+        f_flt = open(out_dir / "errorfloat.txt", "w")
         try:
             for snr_idx, res in enumerate(self.results):
                 if not res.err_chunks:
@@ -273,6 +323,7 @@ class MonteCarloRunner:
                             hard = np.asarray(out["hard"])
                             cw = np.asarray(out["cw"])
                             llr = np.asarray(out["llr"])
+                            soft = np.asarray(out["soft"])
                             for f in bad:
                                 pos = np.nonzero(
                                     hard[f, :n_info]
@@ -289,6 +340,9 @@ class MonteCarloRunner:
                                 f_llr.write(tag + " : " + " ".join(
                                     str(int(llr[f, p]))
                                     for p in pos) + "\n")
+                                f_flt.write(tag + " : " + " ".join(
+                                    f"{float(soft[f, p]):.6f}"
+                                    for p in pos) + "\n")
                                 dumped += 1
                                 if dumped >= max_frames:
                                     return dumped
@@ -296,6 +350,7 @@ class MonteCarloRunner:
             f_idx.close()
             f_dec.close()
             f_llr.close()
+            f_flt.close()
         return dumped
 
     def write_demod_txt(self, path: str | Path):

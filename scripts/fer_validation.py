@@ -29,6 +29,14 @@ def main():
     ap.add_argument("--min-frames", type=int, default=2048)
     ap.add_argument("--max-rounds", type=int, default=400)
     ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--stop-mode", choices=["frame", "group"],
+                    default="frame",
+                    help="early-stop granularity; 'group' = reference "
+                         "32-frame-word emulation")
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--factors", type=str, default="1,6",
+                    help="Factor_1,Factor_2 (reference Profile defaults)")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     from faid_tpu.utils.cache import enable_compilation_cache
@@ -44,25 +52,41 @@ def main():
     code = load_code("50gpon")
     snrs = [float(s) for s in args.snrs.split(",")]
     methods = [int(m) for m in args.methods.split(",")]
+    f1, f2 = (int(x) for x in args.factors.split(","))
     rounds = 4
 
     rows = []
     for m in methods:
         method = DecodeMethod(m)
         cfg = SimConfig(decode_method=method, max_iteration=6, mod_type=2,
-                        batch_per_device=args.batch, seed=0,
+                        batch_per_device=args.batch, seed=args.seed,
+                        factor_1=f1, factor_2=f2,
+                        stop_mode=args.stop_mode, backend=args.backend,
                         fake_encode=True)
-        loop = jax.jit(build_sim_loop(code, cfg, rounds))
-        for snr in snrs:
+        loop = jax.jit(build_sim_loop(code, cfg, rounds,
+                                      backend=cfg.backend))
+        for si, snr in enumerate(snrs):
             sigma = jnp.float32(cfg.sigma_at(snr))
+            # Distinct noise stream per (method, SNR) point: the round
+            # index is folded in by build_sim_loop, so the base key only
+            # needs to separate points.  (Round 1 reused one stream for
+            # every SNR of a method - common random numbers - and let the
+            # first row absorb compile time; both fixed here.)
+            key = jax.random.fold_in(
+                jax.random.key(args.seed), m * 1000 + si)
             c = {"test_frames": 0, "error_frames": 0, "error_bits": 0,
                  "lt3_frames": 0, "mp_iters": 0, "bf_rounds": 0}
+            # Warm-up call compiles (and is discarded) so Mbit/s and the
+            # counters measure steady state only.
+            jax.block_until_ready(
+                loop(jax.random.fold_in(key, 0xFFFFFFFF), sigma,
+                     jnp.int32(1 << 20)))
             t0 = time.monotonic()
             rnd = 0
             while ((c["test_frames"] < args.min_frames
                     or c["error_frames"] < args.min_errors)
                    and rnd < args.max_rounds):
-                out = loop(jax.random.key(m * 1000), sigma, jnp.int32(rnd))
+                out = loop(key, sigma, jnp.int32(rnd))
                 out = jax.device_get(out)
                 for k in c:
                     c[k] += int(out[k])

@@ -67,3 +67,83 @@ def test_runner_forensics_and_itercount(tmp_path):
     # counted errors in the dump are consistent with the runner counters
     total_err_frames = r.results[0].counters["error_frames"]
     assert n <= max(total_err_frames, 16)
+
+
+def test_errorfloat_dump(tmp_path):
+    """collect_error_frames must also dump the pre-quantizer float LLRs
+    (the reference's errorfloat.txt, CLDPC.cpp:4877-4991)."""
+    code = toy_code()
+    cfg = cfg_at(snr_start=-3.0, snr_pass=1.0, snr_end=-2.0, min_frames=8)
+    r = MonteCarloRunner(cfg, code=code, max_rounds_per_snr=4)
+    r.run()
+    n = r.collect_error_frames(tmp_path, max_frames=8)
+    assert n > 0
+    flt = (tmp_path / "errorfloat.txt").read_text().splitlines()
+    llr = (tmp_path / "errorllr.txt").read_text().splitlines()
+    assert len(flt) == len(llr) == n
+    # float lines carry one float per erroneous position, and each float
+    # quantizes to the dumped 4-bit LLR
+    import numpy as np
+    from faid_tpu.ops.fixed_point import quantize_llr
+    for fl, ql in zip(flt, llr):
+        fvals = np.array([float(x) for x in fl.split(" : ")[1].split()],
+                         np.float32)
+        qvals = np.array([int(x) for x in ql.split(" : ")[1].split()])
+        got = np.asarray(quantize_llr(fvals, cfg.scale, cfg.quant_bits))
+        # dumped floats are rounded to 6 decimals; allow boundary slips
+        assert (got == qvals).mean() > 0.9
+
+
+def test_checkpoint_config_fingerprint(tmp_path):
+    """Resuming under a changed config must start fresh, not merge
+    incompatible state (ADVICE round 1)."""
+    import dataclasses
+    import warnings
+
+    code = toy_code()
+    cfg = cfg_at(snr_start=-3.0, snr_pass=1.0, snr_end=-1.0, min_frames=8)
+    ck = tmp_path / "ck.json"
+    r1 = MonteCarloRunner(cfg, code=code, checkpoint_path=ck,
+                          max_rounds_per_snr=2)
+    r1.run_snr(0, -3.0)
+    r1._save_checkpoint()
+    assert ck.exists()
+
+    cfg2 = dataclasses.replace(cfg, max_iteration=3)  # different histograms
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r2 = MonteCarloRunner(cfg2, code=code, checkpoint_path=ck,
+                              max_rounds_per_snr=2)
+    assert any("fingerprint" in str(x.message) for x in w)
+    assert r2._state["snr_idx"] == 0
+    assert r2._state["round"] == 0
+
+    # same config resumes normally
+    r3 = MonteCarloRunner(cfg, code=code, checkpoint_path=ck,
+                          max_rounds_per_snr=2)
+    assert r3._state["round"] > 0
+
+
+def test_sweep_economics_budget(tmp_path):
+    """max_frames_per_snr and giveup_zero_error_frames bound the work a
+    deep-floor (zero-error) point can burn."""
+    code = toy_code()
+    # high SNR -> zero errors; min_frame_errors=1 would loop to
+    # max_rounds without the give-up rule
+    cfg = cfg_at(snr_start=20.0, snr_pass=1.0, snr_end=21.0,
+                 min_frames=8, min_frame_errors=1,
+                 giveup_zero_error_frames=16)
+    r = MonteCarloRunner(cfg, code=code, max_rounds_per_snr=1000)
+    res = r.run()
+    # One sync = batch_per_device * n_devices * rounds_per_sync frames;
+    # the budget check stops after the first sync crosses the threshold.
+    per_sync = 4 * len(__import__("jax").devices()) * 2
+    assert res[0].counters["error_frames"] == 0
+    assert res[0].counters["test_frames"] <= per_sync  # stopped early
+
+    cfg2 = cfg_at(snr_start=-3.0, snr_pass=1.0, snr_end=-2.0,
+                  min_frames=8, min_frame_errors=10**9,
+                  max_frames_per_snr=16)
+    r2 = MonteCarloRunner(cfg2, code=code, max_rounds_per_snr=1000)
+    res2 = r2.run()
+    assert res2[0].counters["test_frames"] <= per_sync
