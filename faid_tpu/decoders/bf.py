@@ -30,6 +30,20 @@ from ..ops import syndrome as syn
 from ..utils import vma
 
 
+GROUP = 32  # the reference's SIMD word = 32 frames (CLDPC.h:21)
+
+
+def group_any(active: jnp.ndarray) -> jnp.ndarray:
+    """[batch] bool -> [batch] bool: OR over each consecutive 32-frame
+    group (the reference early-stop granularity, CDecoder_OMS.cpp:325).
+    Batches smaller than 32 form a single group."""
+    b = active.shape[0]
+    g = min(GROUP, b)
+    if b % g:
+        raise ValueError(f"stop_mode='group' needs batch % {g} == 0, got {b}")
+    return jnp.repeat(jnp.any(active.reshape(b // g, g), axis=1), g)
+
+
 def _weight_mask(code: QCCode, gamma: int) -> jnp.ndarray:
     """[C, Z] bool: VNs with column weight == gamma (flip-eligible)."""
     return jnp.asarray(code.vn_weight_blocks_np == gamma)
@@ -55,7 +69,7 @@ def run_static_bf(hard: jnp.ndarray, code: QCCode, cfg: BFConfig,
         i, hard, rounds = carry
         unsat = syn.unsat_checks(hard, code)
         count = syn.error_count(unsat)
-        dirty = (count >= 0) if group else (count > 0)
+        dirty = group_any(count > 0) if group else (count > 0)
         votes = syn.flip_votes(unsat, code)
         # max_vote starts at 1 (CDecoder_OMSBF.cpp:2975).
         max_vote = jnp.maximum(votes.max(axis=(1, 2)), 1)
@@ -121,7 +135,7 @@ def run_dtbf(hard: jnp.ndarray, code: QCCode, cfg: BFConfig,
         i, hard, hard2, Th, l0, l1, t, rounds = carry
         unsat = syn.unsat_checks(hard, code)
         count = syn.error_count(unsat)
-        dirty = (count >= 0) if group else (count > 0)
+        dirty = group_any(count > 0) if group else (count > 0)
         votes = syn.flip_votes(unsat, code)
 
         Th2, l0n, l1n = _dtbf_threshold(Th, l0, l1, t, cfg)

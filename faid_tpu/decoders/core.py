@@ -28,7 +28,7 @@ import numpy as np
 
 from ..code.qc_matrix import QCCode
 from ..config import DecodeMethod, DecoderConfig
-from ..ops import cn_update, syndrome as syn
+from ..ops import cn_update, fixed_point, syndrome as syn
 from . import bf as bf_mod
 from . import luts
 from ..utils import vma
@@ -39,6 +39,9 @@ def _style_for(method: DecodeMethod) -> str:
     if method in (DecodeMethod.OMS, DecodeMethod.OMS_BF, DecodeMethod.OMS_DTBF):
         return "oms"
     return "faid"
+
+
+group_any = bf_mod.group_any  # reference 32-frame-word OR (bf.py)
 
 
 def ingest_llrs(llr: jnp.ndarray, code: QCCode) -> jnp.ndarray:
@@ -67,9 +70,21 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
 
         on_tpu = _jax.devices()[0].platform == "tpu"
         backend = "pallas" if (on_tpu and _pk.supports(dcfg)) else "xla"
+    style = _style_for(dcfg.method)
+    if style == "nms" and (fixed_point.SAT_POS_MSG * dcfg.factor_1) >> 5 == 0:
+        # The shared Profile default 1/6 floors the NMS normalization
+        # (min*factor)>>5 to zero for every possible 4-bit min, pinning
+        # FER at 1.0 (docs/VALIDATION.md).  NMS wants its own factors,
+        # e.g. 26/32.
+        import warnings
+
+        warnings.warn(
+            f"NMS normalization (min*{dcfg.factor_1})>>5 is zero for all "
+            f"4-bit message magnitudes - every V2C message becomes 0 and "
+            f"FER pins at 1.0. Use NMS-appropriate factors (e.g. 26/32).",
+            stacklevel=2)
     if backend == "pallas":
         return _build_pallas_decoder(code, dcfg, interpret, pallas_bt)
-    style = _style_for(dcfg.method)
     needs_sweep = dcfg.stop_early
     needs_votes = style == "faid" and dcfg.ef_elimination == 2
 
@@ -128,12 +143,13 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
 
         # Freeze frames that were already clean at the iteration top.
         # stop_mode "group" reproduces the reference exactly: the break
-        # happens only when the *whole* SIMD word is clean, so clean
-        # frames keep updating while any group member is dirty
-        # (CDecoder_OMS.cpp:325-327).
+        # happens only when a whole 32-frame SIMD word is clean, so a
+        # clean frame keeps updating while any of its 32 group-mates is
+        # dirty (CDecoder_OMS.cpp:325-327).  Groups are consecutive
+        # 32-frame slices of the batch.
         if needs_sweep:
             if dcfg.stop_mode == "group":
-                a3 = jnp.any(active)
+                a3 = group_any(active)[:, None, None]
             else:
                 a3 = active[:, None, None]
             en_new = jnp.where(a3, en_new, en)

@@ -112,3 +112,30 @@ def test_bit_exact_other_lut_families(code, rng, family):
     out = jax.tree.map(np.asarray, dec(jnp.asarray(llr)))
     g = decode_golden(llr[0], code, dcfg)
     np.testing.assert_array_equal(out["hard"][0].astype(np.uint8), g["hard"])
+
+
+def test_group_stop_mode_is_groupwise(code, rng):
+    """stop_mode='group' with batch=64 must equal two independent 32-frame
+    group decodes (the reference dispatches one 32-frame SIMD word per
+    Decode call, CLDPC.h:21): groups must not influence each other."""
+    dcfg = small_cfg(DecodeMethod.FAID_DTBF, max_iter=3, bf_iter=3)
+    dcfg = dataclasses.replace(dcfg, stop_mode="group")
+    dec = jax.jit(build_decoder(code, dcfg))
+    llr = noisy_zero_llrs(code, rng, 64, sigma=0.55)
+    full = np.asarray(dec(jnp.asarray(llr))["hard"])
+    lo = np.asarray(dec(jnp.asarray(llr[:32]))["hard"])
+    hi = np.asarray(dec(jnp.asarray(llr[32:]))["hard"])
+    np.testing.assert_array_equal(full, np.concatenate([lo, hi]))
+
+
+def test_group_vs_frame_stop_modes_agree_when_converged(code, rng):
+    """At high SNR every frame converges on its own, so the early-stop
+    granularity must not change the output."""
+    dcfg = small_cfg(DecodeMethod.OMS, max_iter=4)
+    llr = noisy_zero_llrs(code, rng, 32, sigma=0.35)
+    out_f = np.asarray(jax.jit(build_decoder(code, dcfg))(
+        jnp.asarray(llr))["hard"])
+    out_g = np.asarray(jax.jit(build_decoder(
+        code, dataclasses.replace(dcfg, stop_mode="group")))(
+        jnp.asarray(llr))["hard"])
+    np.testing.assert_array_equal(out_f, out_g)
