@@ -122,14 +122,29 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
             acc = h if acc is None else jnp.logical_xor(acc, h)
         return acc
 
-    def lut_mag(lut_ref, it, idx):
-        """row[idx] via an unrolled select chain; idx in [0, 7]."""
-        mag = jnp.zeros_like(idx) + lut_ref[it, 7]
-        for k in range(7):
-            mag = jnp.where(idx == k, lut_ref[it, k], mag)
-        return mag
+    def lut_pack(lut_ref, it):
+        """Pack LUT row `it` (8 int8-range entries) into two int32
+        scalars, 4 bytes each.  Scalar SMEM work, done once per
+        iteration outside the edge loop."""
+        lo = jnp.int32(0)
+        hi = jnp.int32(0)
+        for k in range(4):
+            lo = lo | ((lut_ref[it, k] & 0xFF) << (8 * k))
+            hi = hi | ((lut_ref[it, k + 4] & 0xFF) << (8 * k))
+        return lo, hi
 
-    def row_update(en_ref, msgs_ref, lut_refs, it, r, active, l_checksum,
+    def lut_mag_packed(packed, idx):
+        """row[idx] for idx in [0, 7] via variable byte shifts of the
+        packed row - ~8 VPU ops/edge instead of the 15-op compare+select
+        chain (the TPU analogue of the reference's 8 masked selects,
+        CDecoder_FAID.cpp:710-781)."""
+        lo, hi = packed
+        sh = (idx & 3) << 3
+        word = jnp.where(idx < 4, lo, hi)
+        v = jax.lax.shift_right_logical(word, sh) & 0xFF
+        return (v ^ 0x80) - 0x80  # sign-extend int8 -> int32
+
+    def row_update(en_ref, msgs_ref, lut_packed, it, r, active, l_checksum,
                    l_m_err, in_floor, unsat_rows=None, era_ref=None):
         deg = len(edges[r])
         odd = bool(deg & 1)
@@ -180,16 +195,19 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
             parity = jnp.logical_xor(parity, negs[e])
 
         if style == "faid":
-            lut_ref, lut_ef_ref = lut_refs
+            lo_m, hi_m, lo_e, hi_e = lut_packed
             if use_ef:
+                # Per-CN LUT swap: select the packed row once per block
+                # row (2 selects), not per edge.
                 eff = l_checksum & l_m_err & in_floor
+                word_lo = jnp.where(eff, lo_e, lo_m)
+                word_hi = jnp.where(eff, hi_e, hi_m)
+            else:
+                word_lo, word_hi = lo_m, hi_m
             mags = []
             for e in range(deg):
                 idx = jnp.minimum(jnp.abs(vcs[e]), 7)
-                m = lut_mag(lut_ref, it, idx)
-                if use_ef:
-                    m = jnp.where(eff, lut_mag(lut_ef_ref, it, idx), m)
-                mags.append(m)
+                mags.append(lut_mag_packed((word_lo, word_hi), idx))
         elif style == "oms":
             mags = [jnp.minimum(jnp.abs(v), SAT_POS_MSG) for v in vcs]
         else:
@@ -388,7 +406,8 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
         msgs_ref[...] = jnp.zeros(msgs_ref.shape, msgs_ref.dtype)
         iters_out[...] = jnp.zeros(iters_out.shape, iters_out.dtype)
 
-        def iteration(it, _):
+        def iteration_body(it):
+            """One MP iteration; returns True while any frame is dirty."""
             if stop_early:
                 unsat_rows = [syndrome_row(en32, r) for r in range(n_rows)]
                 count = functools.reduce(
@@ -407,6 +426,12 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
             remaining = max_iter - 1 - it
             in_floor = remaining <= dcfg.floor_iter_thresh
 
+            if style == "faid":
+                lut_ref, lut_ef_ref = lut_refs
+                lut_packed = lut_pack(lut_ref, it) + lut_pack(lut_ef_ref, it)
+            else:
+                lut_packed = None
+
             @pl.when(any_active)
             def _():
                 if use_ef2:
@@ -414,14 +439,24 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
                     # (reference CDecoder_FAID.cpp:624-628)
                     era_ref[...] = jnp.zeros(era_ref.shape, era_ref.dtype)
                 for r in range(n_rows):
-                    row_update(en32, msgs_ref, lut_refs, it, r, active,
+                    row_update(en32, msgs_ref, lut_packed, it, r, active,
                                unsat_rows[r], l_m_err, in_floor,
                                unsat_rows=unsat_rows, era_ref=era_ref)
                 iters_out[...] = iters_out[...] + active.astype(jnp.int32)
 
-            return 0
+            return any_active
 
-        jax.lax.fori_loop(0, max_iter, iteration, 0)
+        if stop_early:
+            # Early exit: once every frame in the tile was clean at an
+            # iteration top, later iterations are no-ops (frames are
+            # frozen) - skip their syndrome sweeps too.
+            jax.lax.while_loop(
+                lambda c: (c[0] < max_iter) & (c[1] != 0),
+                lambda c: (c[0] + 1, iteration_body(c[0]).astype(jnp.int32)),
+                (jnp.int32(0), jnp.int32(1)))
+        else:
+            jax.lax.fori_loop(0, max_iter,
+                              lambda it, _: (iteration_body(it), 0)[1], 0)
         if fuse_bf:
             bf_out[...] = bf_tail(en32, hard_scr, hard_ch_scr, hard2_scr)
             for c in range(c_blocks):
