@@ -29,8 +29,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2048,
                     help="frames per round (per chip)")
-    ap.add_argument("--rounds", type=int, default=10,
-                    help="rounds per on-device loop call")
+    ap.add_argument("--rounds", type=int, default=25,
+                    help="rounds per on-device loop call (amortizes the "
+                         "~26 ms per-dispatch tunnel overhead, exactly as "
+                         "the reference amortizes with 50 rounds per "
+                         "pthread dispatch; see docs/ROOFLINE.md)")
     ap.add_argument("--calls", type=int, default=3)
     ap.add_argument("--snr", type=float, default=4.0)
     ap.add_argument("--method", type=int, default=2)
@@ -57,18 +60,21 @@ def main():
     sigma = jnp.float32(cfg.sigma_at(args.snr))
     key = jax.random.key(0)
 
-    jax.block_until_ready(loop(key, sigma, jnp.int32(0)))  # compile+warm
+    # Sync with device_get of the counters: block_until_ready through the
+    # tunnel can return before a fresh dispatch executed (docs/ROOFLINE.md
+    # "Measurement methodology").
+    jax.device_get(loop(key, sigma, jnp.int32(0)))  # compile+warm
 
     t0 = time.perf_counter()
     for c in range(args.calls):
-        out = loop(key, sigma, jnp.int32((c + 1) * args.rounds))
-        jax.block_until_ready(out)
+        out = jax.device_get(loop(key, sigma,
+                                  jnp.int32((c + 1) * args.rounds)))
     dt = time.perf_counter() - t0
 
     frames = args.batch * args.rounds * args.calls
     mbit_s = frames * code.n_info / dt / 1e6
     stats = {k: (v.tolist() if getattr(v, "ndim", 0) else int(v))
-             for k, v in jax.device_get(out).items()}
+             for k, v in out.items()}
 
     base_path = Path(__file__).parent / "bench_baseline.json"
     if base_path.exists():
