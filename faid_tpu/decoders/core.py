@@ -174,7 +174,13 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
         def body(carry):
             it, en, msgs, alive, mp_iters = carry
             en, msgs, active = one_iteration(it, en, msgs)
-            mp_iters = mp_iters + active.astype(jnp.int32)
+            # In group mode a clean frame keeps being updated while any
+            # group-mate is dirty, so count the iteration for the whole
+            # dirty group - the same granularity bf.py uses for
+            # bf_rounds (a frame's count reflects work done on it).
+            counted = (group_any(active) if dcfg.stop_mode == "group"
+                       else active)
+            mp_iters = mp_iters + counted.astype(jnp.int32)
             return it + 1, en, msgs, jnp.any(active), mp_iters
 
         carry = (jnp.int32(0), en, msgs, mp_iters.sum() == 0, mp_iters)

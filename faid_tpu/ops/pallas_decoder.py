@@ -54,8 +54,10 @@ def supports(dcfg: DecoderConfig) -> bool:
     (modes 0/1) / faid (EF 0/1/2, all LUT families) and all BF kinds.
     Not covered: stop_mode='group' (the kernel freezes per frame; the
     group-granularity reference emulation is an xla-only validation
-    mode)."""
-    if dcfg.stop_mode != "frame":
+    mode) - except when group semantics are vacuous (no early stop and
+    no BF post-processor, e.g. NMS), where the fused kernel is valid."""
+    if dcfg.stop_mode != "frame" and (dcfg.stop_early
+                                      or dcfg.bf.kind != "none"):
         return False
     if _style_for(dcfg) not in ("nms", "oms", "faid"):
         return False
@@ -545,6 +547,8 @@ def make_full_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
     Requires dcfg.bf.kind != 'none' (use make_mp_decoder otherwise)."""
     if dcfg.bf.kind == "none":
         raise ValueError("no BF post-processor in this config")
+    if not supports(dcfg):
+        raise ValueError("config not supported by the fused kernel")
     style = _style_for(dcfg)
     c_blocks = code.n_block_cols
     z = code.z

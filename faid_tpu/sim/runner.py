@@ -54,11 +54,27 @@ def _add_counter(a, b):
     return a + b
 
 
+# Fields that change WHEN the sweep stops or HOW it executes, not what
+# any Monte-Carlo round computes: resuming under a different value of
+# these must keep the accumulated statistics.  backend is neutral by the
+# four-way bit-exactness contract (CLAUDE.md; docs/backend_parity.json);
+# rounds_per_sync only re-chunks rounds whose results are a pure
+# function of (seed, snr_idx, round) regardless of chunking.
+_FINGERPRINT_NEUTRAL_FIELDS = (
+    "min_frames", "min_frame_errors", "max_frames_per_snr",
+    "giveup_zero_error_frames", "backend", "rounds_per_sync",
+)
+
+
 def config_fingerprint(cfg: SimConfig) -> str:
     """Stable hash of every result-affecting config field.  Stored in
     checkpoints so resuming under a changed method/SNR-grid/batch starts
-    fresh instead of silently merging incompatible state."""
+    fresh instead of silently merging incompatible state, while changes
+    to stopping-rule/execution fields (deepening a sweep, switching the
+    bit-exact backend) keep the checkpoint."""
     d = dataclasses.asdict(cfg)
+    for k in _FINGERPRINT_NEUTRAL_FIELDS:
+        d.pop(k, None)
     blob = json.dumps(d, sort_keys=True, default=str)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 

@@ -33,7 +33,9 @@ def main():
     ap.add_argument("--methods", type=str, default="0,1,2,3,4,5")
     ap.add_argument("--bt", type=int, default=32)
     ap.add_argument("--seed", type=int, default=20260817)
-    ap.add_argument("--out", type=str, default="docs/backend_parity.json")
+    ap.add_argument("--out", type=str,
+                    default=str(Path(__file__).resolve().parent.parent
+                                / "docs/backend_parity.json"))
     args = ap.parse_args()
 
     from faid_tpu.utils.cache import enable_compilation_cache

@@ -59,12 +59,18 @@ def main():
         dec = jax.jit(build_decoder(code, dcfg, backend=backend,
                                     pallas_bt=args.bt))
         t0 = time.perf_counter()
-        out = jax.block_until_ready(dec(llr))
+        out = dec(llr)
+        jax.device_get(out["mp_iters"])
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        res = [dec(x) for x in llrs]
-        jax.block_until_ready(res)
-        dt = (time.perf_counter() - t0) / args.reps
+        # Per-dispatch device_get timing: indicative only (includes the
+        # ~26 ms tunnel round trip per rep); rigorous per-decode numbers
+        # come from the chained slope method in scripts/roofline.py.
+        times = []
+        for x in llrs:
+            t0 = time.perf_counter()
+            jax.device_get(dec(x)["mp_iters"])
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
         mbps = args.batch * code.n_info / dt / 1e6
         fer = float(np.asarray(out["hard"]).any(axis=1).mean())
         print(f"{backend:8s} compile {compile_s:6.1f}s  step {dt*1e3:8.2f}ms"

@@ -77,8 +77,11 @@ def main():
             c = {"test_frames": 0, "error_frames": 0, "error_bits": 0,
                  "lt3_frames": 0, "mp_iters": 0, "bf_rounds": 0}
             # Warm-up call compiles (and is discarded) so Mbit/s and the
-            # counters measure steady state only.
-            jax.block_until_ready(
+            # counters measure steady state only.  device_get, not
+            # block_until_ready: the latter can return before the fresh
+            # dispatch executed (docs/ROOFLINE.md), bleeding warm-up
+            # work into the timed region.
+            jax.device_get(
                 loop(jax.random.fold_in(key, 0xFFFFFFFF), sigma,
                      jnp.int32(1 << 20)))
             t0 = time.monotonic()

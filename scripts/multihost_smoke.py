@@ -28,10 +28,14 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 def worker(args) -> int:
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={args.local_devices}"
-    ).strip()
+    # Replace (not append to) any inherited device-count flag - pytest's
+    # conftest exports its own =8, and duplicate occurrences would leave
+    # correctness to last-flag-wins parsing.
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    flags.append(
+        f"--xla_force_host_platform_device_count={args.local_devices}")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # env var ignored (CLAUDE.md)

@@ -7,7 +7,7 @@
 set -euo pipefail
 REF=${REF:-/root/reference}
 HERE="$(cd "$(dirname "$0")" && pwd)"
-BUILD=${BUILD:-/root/repo/.refbuild}
+BUILD=${BUILD:-"$HERE/../../.refbuild"}
 mkdir -p "$BUILD"
 
 CXX=${CXX:-g++}

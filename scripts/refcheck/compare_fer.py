@@ -55,7 +55,10 @@ def run_point(code, method, f1, f2, snr, stop_mode, backend, batch,
     point_id = (method * 1_000_000 + f1 * 10_000 + int(round(snr * 10)) * 10
                 + (0 if stop_mode == "group" else 1))
     key = jax.random.fold_in(jax.random.key(seed), point_id)
-    jax.block_until_ready(   # compile outside the timed region
+    # device_get, not block_until_ready: the latter can return before the
+    # fresh dispatch executed (docs/ROOFLINE.md), bleeding compile+warm-up
+    # into the timed region.
+    jax.device_get(
         loop(jax.random.fold_in(key, 0xFFFFFFFF), sigma, jnp.int32(1 << 20)))
     c = {"test_frames": 0, "error_frames": 0, "error_bits": 0}
     t0 = time.monotonic()

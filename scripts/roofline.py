@@ -62,7 +62,8 @@ def main():
     ap.add_argument("--max-iter", type=int, default=6)
     ap.add_argument("--bt", type=int, default=32)
     ap.add_argument("--trace-dir", type=str, default=None)
-    ap.add_argument("--out", type=str, default="docs/roofline.json")
+    ap.add_argument("--out", type=str,
+                    default=str(REPO / "docs/roofline.json"))
     args = ap.parse_args()
 
     from faid_tpu.utils.cache import enable_compilation_cache

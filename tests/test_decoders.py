@@ -128,6 +128,21 @@ def test_group_stop_mode_is_groupwise(code, rng):
     np.testing.assert_array_equal(full, np.concatenate([lo, hi]))
 
 
+def test_group_stop_mode_iters_uniform_per_group(code, rng):
+    """In group mode every frame of a 32-frame group is updated while any
+    group-mate is dirty, so mp_iters (like bf_rounds) must be recorded at
+    group granularity: identical within each group."""
+    dcfg = small_cfg(DecodeMethod.FAID_DTBF, max_iter=4, bf_iter=3)
+    dcfg = dataclasses.replace(dcfg, stop_mode="group")
+    dec = jax.jit(build_decoder(code, dcfg))
+    out = jax.tree.map(np.asarray,
+                       dec(jnp.asarray(noisy_zero_llrs(code, rng, 64,
+                                                       sigma=0.55))))
+    for g in range(2):
+        grp = out["mp_iters"][32 * g:32 * (g + 1)]
+        assert (grp == grp[0]).all(), grp
+
+
 def test_group_vs_frame_stop_modes_agree_when_converged(code, rng):
     """At high SNR every frame converges on its own, so the early-stop
     granularity must not change the output."""

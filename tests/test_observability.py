@@ -123,6 +123,15 @@ def test_checkpoint_config_fingerprint(tmp_path):
                           max_rounds_per_snr=2)
     assert r3._state["round"] > 0
 
+    # result-neutral changes (stopping rule, bit-exact backend) must NOT
+    # invalidate the checkpoint: deepening a sweep or switching backend
+    # keeps accumulated statistics.
+    cfg4 = dataclasses.replace(cfg, min_frame_errors=999, backend="xla",
+                               rounds_per_sync=3)
+    r4 = MonteCarloRunner(cfg4, code=code, checkpoint_path=ck,
+                          max_rounds_per_snr=2)
+    assert r4._state["round"] > 0
+
 
 def test_sweep_economics_budget(tmp_path):
     """max_frames_per_snr and giveup_zero_error_frames bound the work a

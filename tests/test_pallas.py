@@ -38,6 +38,45 @@ def test_pallas_matches_xla_toy(rng, method):
     np.testing.assert_array_equal(a["bf_rounds"], b["bf_rounds"])
 
 
+def test_supports_gates_group_mode():
+    """The kernel freezes per frame, so group mode is xla-only - except
+    where group semantics are vacuous (no early stop, no BF: NMS), which
+    stays on the fast kernel.  The full-decoder factory must enforce the
+    same gate as make_mp_decoder."""
+    from faid_tpu.ops import pallas_decoder as pk
+
+    nms_group = dataclasses.replace(
+        DecoderConfig.for_method(DecodeMethod.NMS), stop_mode="group")
+    assert pk.supports(nms_group)          # vacuous group semantics
+
+    faid_group = dataclasses.replace(
+        DecoderConfig.for_method(DecodeMethod.FAID_DTBF),
+        stop_mode="group")
+    assert not pk.supports(faid_group)
+    with pytest.raises(ValueError):
+        pk.make_full_decoder(toy_code(), faid_group)
+
+    oms_group = dataclasses.replace(
+        DecoderConfig.for_method(DecodeMethod.OMS), stop_mode="group")
+    assert not pk.supports(oms_group)      # early stop is group-sensitive
+
+
+def test_group_nms_pallas_matches_xla(rng):
+    """NMS in group mode runs the fused kernel (vacuous-group fast path)
+    and must still match the xla group-mode decoder bit-for-bit."""
+    code = toy_code()
+    dcfg = dataclasses.replace(small_cfg(DecodeMethod.NMS),
+                               stop_mode="group")
+    ref = jax.jit(build_decoder(code, dcfg, backend="xla"))
+    pal = jax.jit(build_decoder(code, dcfg, backend="pallas",
+                                interpret=True, pallas_bt=32))
+    llr = rng.integers(-7, 8, size=(32, code.n_var)).astype(np.int8)
+    a = jax.tree.map(np.asarray, ref(jnp.asarray(llr)))
+    b = jax.tree.map(np.asarray, pal(jnp.asarray(llr)))
+    np.testing.assert_array_equal(a["hard"], b["hard"])
+    np.testing.assert_array_equal(a["mp_iters"], b["mp_iters"])
+
+
 # Full-code kernel parity runs compiled on real TPU hardware
 # (scripts/bench_decoder.py --check); interpret mode at N=17664 is too
 # slow for the CPU suite, so full-code coverage here stays at the toy

@@ -56,8 +56,15 @@ def harness():
         r = subprocess.run(
             ["bash", str(REPO / "scripts/refcheck/build.sh")],
             capture_output=True, text=True)
-        if r.returncode != 0:
+        if r.returncode != 0 or not HARNESS.exists():
             pytest.skip(f"reference harness build failed: {r.stderr[-500:]}")
+    # AVX-512VL/BW code compiles on any x86 toolchain but SIGILLs on CPUs
+    # without it - probe at runtime (argless run prints usage, exit != 0
+    # is fine; death by signal is a negative returncode).
+    probe = subprocess.run([str(HARNESS)], capture_output=True)
+    if probe.returncode < 0:
+        pytest.skip(f"reference harness not runnable on this CPU "
+                    f"(signal {-probe.returncode})")
     return HARNESS
 
 
