@@ -31,24 +31,9 @@ REPO = pathlib.Path(__file__).resolve().parents[2]
 BUILD = REPO / ".refbuild"
 RATE = 0.8444444
 
-PROFILE_TMPL = """Simulation parameter
-StartSNR: 3
-SNRPass: 0.1
-EndSNR: 5
-DecodeMethod: {method}
-MaxIteration: 6
-Modulation Parameter:
-modType: 2
-InterleaveModType: 1
-NMS  Factor:
-Factor_1: {f1}
-Factor_2: {f2}
-noFrames: 32
-scale: 13
-Matrix Factor
-FileName: 50GPON-CP12
-Z: 256
-"""
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from common import write_profile  # noqa: E402  (shared Profile template)
+
 
 METHOD_NAMES = ["NMS", "OMS", "FAID_DTBF", "OMS_BF", "OMS_DTBF",
                 "FAID_2B1C"]
@@ -60,8 +45,7 @@ def sigma_at(snr_db: float, mod_type: int = 2) -> float:
 
 def run_point(wd, method, f1, f2, snr, min_errors, max_rounds, seed,
               chunk=500):
-    (wd / "Profile.txt").write_text(
-        PROFILE_TMPL.format(method=method, f1=f1, f2=f2))
+    write_profile(wd, method, f1, f2)
     sigma = sigma_at(snr)
     frames = errors = bits = lt3 = 0
     t0 = time.monotonic()

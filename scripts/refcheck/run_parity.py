@@ -25,6 +25,9 @@ import tempfile
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from common import write_profile  # noqa: E402  (shared Profile template)
 
 import jax
 
@@ -52,24 +55,6 @@ CASES = [
     (DecodeMethod.FAID_2B1C, 1, 6),
 ]
 
-PROFILE_TMPL = """Simulation parameter
-StartSNR: 3
-SNRPass: 0.1
-EndSNR: 5
-DecodeMethod: {method}
-MaxIteration: {max_iter}
-Modulation Parameter:
-modType: 2
-InterleaveModType: 1
-NMS  Factor:
-Factor_1: {f1}
-Factor_2: {f2}
-noFrames: 32
-scale: 13
-Matrix Factor
-FileName: 50GPON-CP12
-Z: 256
-"""
 
 
 def make_llr_words(n_words: int, rng: np.random.Generator) -> np.ndarray:
@@ -96,8 +81,7 @@ def make_llr_words(n_words: int, rng: np.random.Generator) -> np.ndarray:
 def ref_decode(method: int, max_iter: int, f1: int, f2: int,
                words: np.ndarray, workdir: pathlib.Path) -> np.ndarray:
     """Run the reference harness; returns hard bits [n_words, 32, n_var]."""
-    (workdir / "Profile.txt").write_text(PROFILE_TMPL.format(
-        method=method, max_iter=max_iter, f1=f1, f2=f2))
+    write_profile(workdir, method, f1, f2, max_iter=max_iter)
     # fixInput layout: [32 x info frame-major][32 x check frame-major]
     blobs = []
     for w in words:

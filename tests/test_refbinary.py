@@ -30,24 +30,9 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 HARNESS = REPO / ".refbuild" / "refharness"
 N_VAR, N_INFO = 17664, 14592
 
-PROFILE = """Simulation parameter
-StartSNR: 3
-SNRPass: 0.1
-EndSNR: 5
-DecodeMethod: {method}
-MaxIteration: 6
-Modulation Parameter:
-modType: 2
-InterleaveModType: 1
-NMS  Factor:
-Factor_1: {f1}
-Factor_2: {f2}
-noFrames: 32
-scale: 13
-Matrix Factor
-FileName: 50GPON-CP12
-Z: 256
-"""
+import sys
+sys.path.insert(0, str(REPO / "scripts" / "refcheck"))
+from common import write_profile  # noqa: E402  (shared Profile template)
 
 
 @pytest.fixture(scope="module")
@@ -70,8 +55,7 @@ def harness():
 
 @pytest.fixture()
 def workdir(tmp_path):
-    (tmp_path / "Profile.txt").write_text(
-        PROFILE.format(method=2, f1=1, f2=6))
+    write_profile(tmp_path, 2, 1, 6)
     return tmp_path
 
 
@@ -147,8 +131,7 @@ def test_decode_parity(harness, workdir, code, method, f1, f2):
     """One 32-frame word through the reference decoder entry point vs
     faid_tpu in stop_mode='group' (the reference's SIMD-word early-stop
     granularity).  Full six-method sweep: scripts/refcheck/run_parity.py."""
-    (workdir / "Profile.txt").write_text(
-        PROFILE.format(method=int(method), f1=f1, f2=f2))
+    write_profile(workdir, int(method), f1, f2)
     rng = np.random.default_rng(int(method) + 17)
     sigma = 1.0 / np.sqrt(0.8444444 * 2 * 10 ** 0.34)
     y = -1.0 + sigma * rng.standard_normal((32, N_VAR))
