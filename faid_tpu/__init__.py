@@ -16,7 +16,16 @@ from .decoders.core import build_decoder
 __all__ = [
     "QCCode", "load_code",
     "BFConfig", "DecodeMethod", "DecoderConfig", "FaidLutFamily", "SimConfig",
-    "build_decoder",
+    "build_decoder", "MonteCarloRunner",
 ]
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy: the runner pulls in the full sim stack, which the many users
+    # who only need a decoder should not pay for at import time.
+    if name == "MonteCarloRunner":
+        from .sim.runner import MonteCarloRunner
+        return MonteCarloRunner
+    raise AttributeError(name)
