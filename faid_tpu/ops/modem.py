@@ -90,15 +90,26 @@ def modulate_bpsk(bits: jnp.ndarray) -> jnp.ndarray:
 def modulate_qam(bits: jnp.ndarray, mod_type: int) -> jnp.ndarray:
     """bits [batch, L] -> complex symbols as (i, q) floats
     [batch, L/mod_type, 2].  Even bit positions feed I, odd feed Q; within
-    each rail the first bit is the MSB (reference CModulate.cpp:244-262)."""
-    table = jnp.asarray(_TABLES[mod_type])
+    each rail the first bit is the MSB (reference CModulate.cpp:244-262).
+
+    The amplitude lookup is a select tree over the bits rather than a
+    ``table[idx]`` gather: XLA lowers small-table gathers poorly on TPU
+    (a 2-entry QPSK gather alone cost 1.5 ms/round at batch 2048, ~40%
+    of the whole front end — docs/ROOFLINE.md); a tree of
+    ``2**half - 1`` elementwise selects produces float-identical
+    amplitudes at VPU speed."""
+    table = _TABLES[mod_type]
     half = mod_type // 2
     b, length = bits.shape
     grp = bits.reshape(b, length // mod_type, half, 2)  # [..., j, (I,Q)]
-    weights = (1 << jnp.arange(half - 1, -1, -1, dtype=jnp.int32))
-    idx = jnp.tensordot(grp.astype(jnp.int32), weights, axes=([2], [0]))
-    # idx: [batch, nsym, 2] -> amplitudes
-    return table[idx]
+    # Fold in bits LSB-first: each level halves the candidate table by
+    # selecting between entries whose index differs in that bit.
+    entries = [jnp.float32(v) for v in table]
+    for k in range(half - 1, -1, -1):
+        bit = grp[:, :, k, :] != 0
+        entries = [jnp.where(bit, entries[2 * i + 1], entries[2 * i])
+                   for i in range(len(entries) // 2)]
+    return entries[0]
 
 
 def demodulate_qam(sym: jnp.ndarray, mod_type: int) -> jnp.ndarray:
