@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--snr", type=float, default=4.0)
     ap.add_argument("--method", type=int, default=2)
     ap.add_argument("--backend", type=str, default="auto")
+    ap.add_argument("--channel", type=str, default="fused",
+                    choices=["xla", "fused"],
+                    help="channel backend (fused = quantile-sampling "
+                         "kernel, statistically validated vs the float "
+                         "chain: tests/test_pallas_channel.py + "
+                         "docs/channel_parity.json)")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -54,7 +60,8 @@ def main():
     code = load_code("50gpon")
     cfg = SimConfig(decode_method=DecodeMethod(args.method),
                     max_iteration=6, mod_type=2,
-                    batch_per_device=args.batch, seed=0)
+                    batch_per_device=args.batch, seed=0,
+                    channel_backend=args.channel)
     loop = jax.jit(build_sim_loop(code, cfg, args.rounds,
                                   backend=args.backend))
     sigma = jnp.float32(cfg.sigma_at(args.snr))

@@ -62,6 +62,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--backend", type=str, default=None,
                     choices=["auto", "xla", "pallas"],
                     help="decoder backend (default auto: pallas on TPU)")
+    ap.add_argument("--channel-backend", type=str, default=None,
+                    choices=["xla", "fused"],
+                    help="channel backend: xla float chain (default) or "
+                         "the fused quantile-sampling kernel (BPSK/QPSK; "
+                         "fastest on TPU, different random stream — see "
+                         "ops/pallas_channel.py)")
     ap.add_argument("--platform", type=str, default=None,
                     help="force a jax platform, e.g. cpu (this image "
                          "ignores the JAX_PLATFORMS env var)")
@@ -109,6 +115,8 @@ def config_from_args(args) -> "SimConfig":
         over["fake_encode"] = True
     if args.backend is not None:
         over["backend"] = args.backend
+    if args.channel_backend is not None:
+        over["channel_backend"] = args.channel_backend
     if args.lut_family is not None:
         over["faid_lut"] = args.lut_family
     return dataclasses.replace(cfg, **over)

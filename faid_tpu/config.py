@@ -170,6 +170,11 @@ class SimConfig:
     rounds_per_sync: int = 8
     # Decoder execution backend: auto | xla | pallas (decoders/core.py).
     backend: str = "auto"
+    # Channel execution backend: "xla" (float chain, key-exact and
+    # portable) or "fused" (quantile-sampling kernel, BPSK/QPSK only:
+    # exact output marginals, different random stream; fastest on TPU).
+    # See ops/pallas_channel.py.
+    channel_backend: str = "xla"
     # Early-stop granularity: "frame" (default) or "group" (reference
     # 32-frame-word emulation; see DecoderConfig.stop_mode).
     stop_mode: str = "frame"

@@ -27,7 +27,7 @@ from ..code.encoder import make_encode_fn
 from ..code.qc_matrix import QCCode
 from ..config import SimConfig
 from ..decoders.core import build_decoder
-from ..ops import channel, modem
+from ..ops import channel, modem, pallas_channel
 from ..ops import fixed_point as fp
 
 
@@ -44,6 +44,10 @@ def build_sim_step(code: QCCode, cfg: SimConfig,
     batch = cfg.batch_per_device
     n_info = code.n_info
     mod = cfg.mod_type
+    if cfg.channel_backend == "fused":
+        fused_channel = pallas_channel.build_fused_channel(code, cfg)
+    else:
+        fused_channel = None
 
     def step(key: jax.Array, sigma: jax.Array) -> dict:
         k_msg, k_noise = jax.random.split(key)
@@ -56,26 +60,37 @@ def build_sim_step(code: QCCode, cfg: SimConfig,
             u = jax.random.bernoulli(k_msg, 0.5, (batch, n_info))
             cw = encode(u.astype(jnp.int8))
 
-        tx_bits = modem.interleave(cw, cfg.interleave_depth)
+        ref_bits = cw[:, :n_info].astype(jnp.bool_)
 
-        # --- channel ------------------------------------------------------
-        if mod == 1:
-            sym = modem.modulate_bpsk(tx_bits)
-            rx = channel.awgn_real(k_noise, sym, sigma)
-            soft = modem.demodulate_bpsk(rx)
+        if fused_channel is not None:
+            # Fused quantile channel (ops/pallas_channel.py): one kernel
+            # replaces interleave->modulate->AWGN->demap->deinterleave->
+            # quantize and emits the ModCalErr indicator directly.  With
+            # one bit per LLR (BPSK/QPSK) the interleave pair is
+            # transparent, so it operates on cw in place.
+            llr, mod_err_map = fused_channel(cw, k_noise, sigma)
+            mod_err = mod_err_map[:, :n_info].astype(jnp.bool_)
         else:
-            sym = modem.modulate_qam(tx_bits, mod)
-            # Complex noise: sigma/sqrt(2) per rail (reference
-            # CSimulate.cpp:126).
-            rx = channel.awgn_complex(k_noise, sym, sigma / jnp.sqrt(2.0))
-            soft = modem.demodulate_qam(rx, mod)
+            tx_bits = modem.interleave(cw, cfg.interleave_depth)
 
-        soft = modem.deinterleave(soft, cfg.interleave_depth)
+            # --- channel --------------------------------------------------
+            if mod == 1:
+                sym = modem.modulate_bpsk(tx_bits)
+                rx = channel.awgn_real(k_noise, sym, sigma)
+                soft = modem.demodulate_bpsk(rx)
+            else:
+                sym = modem.modulate_qam(tx_bits, mod)
+                # Complex noise: sigma/sqrt(2) per rail (reference
+                # CSimulate.cpp:126).
+                rx = channel.awgn_complex(k_noise, sym, sigma / jnp.sqrt(2.0))
+                soft = modem.demodulate_qam(rx, mod)
+
+            soft = modem.deinterleave(soft, cfg.interleave_depth)
+            llr = fp.quantize_llr(soft, cfg.scale, cfg.quant_bits)
+            mod_hard = soft[:, :n_info] > 0
+            mod_err = jnp.logical_xor(mod_hard, ref_bits)
 
         # --- pre-decoder hard-decision stats (ModCalErr) ------------------
-        mod_hard = soft[:, :n_info] > 0
-        ref_bits = cw[:, :n_info].astype(jnp.bool_)
-        mod_err = jnp.logical_xor(mod_hard, ref_bits)
         mod_error_bits = mod_err.sum(axis=1).astype(jnp.int32)
         # Symbol = mod_type consecutive info bits (reference ModSER
         # denominator, main.cpp:184); pad the tail group if n_info is not
@@ -86,7 +101,6 @@ def build_sim_step(code: QCCode, cfg: SimConfig,
         mod_error_symbols = sym_err.sum(axis=1).astype(jnp.int32)
 
         # --- RX -----------------------------------------------------------
-        llr = fp.quantize_llr(soft, cfg.scale, cfg.quant_bits)
         out = decoder(llr)
 
         hard_info = out["hard"][:, :n_info]
@@ -137,6 +151,10 @@ def build_debug_step(code: QCCode, cfg: SimConfig,
     batch = cfg.batch_per_device
     n_info = code.n_info
     mod = cfg.mod_type
+    if cfg.channel_backend == "fused":
+        fused_channel = pallas_channel.build_fused_channel(code, cfg)
+    else:
+        fused_channel = None
 
     def debug(key: jax.Array, sigma: jax.Array) -> dict:
         k_msg, k_noise = jax.random.split(key)
@@ -145,18 +163,25 @@ def build_debug_step(code: QCCode, cfg: SimConfig,
         else:
             u = jax.random.bernoulli(k_msg, 0.5, (batch, n_info))
             cw = encode(u.astype(jnp.int8))
-        tx_bits = modem.interleave(cw, cfg.interleave_depth)
-        if mod == 1:
-            sym = modem.modulate_bpsk(tx_bits)
-            soft = modem.demodulate_bpsk(
-                channel.awgn_real(k_noise, sym, sigma))
+        if fused_channel is not None:
+            # Exact replay of the fused-channel run (same platform).  No
+            # float LLR exists in that pipeline; the errorfloat.txt
+            # column records the dequantized value llr/scale instead.
+            llr, _ = fused_channel(cw, k_noise, sigma)
+            soft = llr.astype(jnp.float32) / jnp.float32(cfg.scale)
         else:
-            sym = modem.modulate_qam(tx_bits, mod)
-            soft = modem.demodulate_qam(
-                channel.awgn_complex(k_noise, sym, sigma / jnp.sqrt(2.0)),
-                mod)
-        soft = modem.deinterleave(soft, cfg.interleave_depth)
-        llr = fp.quantize_llr(soft, cfg.scale, cfg.quant_bits)
+            tx_bits = modem.interleave(cw, cfg.interleave_depth)
+            if mod == 1:
+                sym = modem.modulate_bpsk(tx_bits)
+                soft = modem.demodulate_bpsk(
+                    channel.awgn_real(k_noise, sym, sigma))
+            else:
+                sym = modem.modulate_qam(tx_bits, mod)
+                soft = modem.demodulate_qam(
+                    channel.awgn_complex(k_noise, sym, sigma / jnp.sqrt(2.0)),
+                    mod)
+            soft = modem.deinterleave(soft, cfg.interleave_depth)
+            llr = fp.quantize_llr(soft, cfg.scale, cfg.quant_bits)
         out = decoder(llr)
         err = jnp.logical_xor(out["hard"][:, :n_info],
                               cw[:, :n_info].astype(jnp.bool_))
