@@ -19,9 +19,13 @@ tests/test_pallas.py): int32 arithmetic with explicit saturation bounds,
 the same min1/min2 recurrence, LUT select chain, and sign algebra.
 
 Coverage: every reference decode method and knob - styles nms / oms
-(mode 0 and selective mode 1) / faid (EF 0/1/2, all LUT families), and
-the BF post-processors (static / DTBF / 2B1C) fused into the same kernel
-(``make_full_decoder``), so a complete decode never leaves VMEM.
+(mode 0 and selective mode 1) / faid (EF 0/1/2, all LUT families), the
+BF post-processors (static / DTBF / 2B1C) fused into the same kernel
+(``make_full_decoder``) so a complete decode never leaves VMEM, and
+both early-stop granularities: stop_mode='frame' (per-frame freeze) and
+'group' (reference-exact 32-frame-word semantics - the bt=32 tile IS
+the reference's SIMD word, so group mode drops the per-frame masking
+selects from the hot loop and is the *faster* path).
 
 Mosaic constraints encoded here: lane rotates and vector compares must
 be int32 (no int8 rotate/cmp); (BT,1) bool vectors can't ride a
@@ -51,13 +55,14 @@ def supports(dcfg: DecoderConfig) -> bool:
     gate in decoders/core.py falls back to xla when this is False).
 
     Covered: every reference decode method and knob - styles nms/oms
-    (modes 0/1) / faid (EF 0/1/2, all LUT families) and all BF kinds.
-    Not covered: stop_mode='group' (the kernel freezes per frame; the
-    group-granularity reference emulation is an xla-only validation
-    mode) - except when group semantics are vacuous (no early stop and
-    no BF post-processor, e.g. NMS), where the fused kernel is valid."""
-    if dcfg.stop_mode != "frame" and (dcfg.stop_early
-                                      or dcfg.bf.kind != "none"):
+    (modes 0/1) / faid (EF 0/1/2, all LUT families), all BF kinds, and
+    both stop modes.  stop_mode='group' maps 1:1 onto the kernel: the
+    bt=32 batch tile IS the reference's 32-frame SIMD word
+    (CLDPC.h:21), so the reference's whole-word early stop
+    (CDecoder_OMS.cpp:325-327, CDecoder_FAID.cpp:6782-6784) becomes a
+    per-tile gate and the per-frame freeze selects drop out of the hot
+    loop entirely (the factories enforce bt == 32 for group mode)."""
+    if dcfg.stop_mode not in ("frame", "group"):
         return False
     if _style_for(dcfg) not in ("nms", "oms", "faid"):
         return False
@@ -96,6 +101,13 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
     off = dcfg.oms_offset
     max_iter = dcfg.max_iter
     stop_early = dcfg.stop_early
+    # Group mode: the reference's early-stop granularity is the whole
+    # 32-frame SIMD word, which is exactly this kernel's bt=32 batch
+    # tile.  Per-frame freezing (the `active` selects in row_update and
+    # the per-frame `dirty` gates in bf_tail) is replaced by the
+    # existing per-tile gates, so group mode runs *fewer* ops per
+    # iteration than frame mode.
+    group = dcfg.stop_mode == "group"
     selective = style == "oms" and dcfg.oms_mode == 1
     use_ef = style == "faid" and dcfg.ef_elimination >= 1
     use_ef2 = style == "faid" and dcfg.ef_elimination == 2
@@ -251,10 +263,16 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
             en_new = jnp.minimum(
                 jnp.maximum(_clip8(vcs[e] + new_msg), SAT_NEG_VAR),
                 SAT_POS_VAR)
-            msgs_ref[lo + e] = jnp.where(
-                active, new_msg, msgs_ref[lo + e].astype(jnp.int32)
-            ).astype(jnp.int8)
-            en_ref[c] = jnp.where(active, _roll(en_new, s), en_ref[c])
+            if active is None:
+                # group mode: the whole tile updates while any frame in
+                # it is dirty (gated once by pl.when in the caller).
+                msgs_ref[lo + e] = new_msg.astype(jnp.int8)
+                en_ref[c] = _roll(en_new, s)
+            else:
+                msgs_ref[lo + e] = jnp.where(
+                    active, new_msg, msgs_ref[lo + e].astype(jnp.int32)
+                ).astype(jnp.int8)
+                en_ref[c] = jnp.where(active, _roll(en_new, s), en_ref[c])
 
     # ---- fused BF post-processor (static / DTBF / 2B1C) ----------------
     b = dcfg.bf
@@ -299,7 +317,15 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
                        for r in range(n_rows)]
             count = functools.reduce(jnp.add, [
                 u.sum(axis=1, keepdims=True) for u in unsat32])
-            dirty = count > 0                           # [BT, 1]
+            if group:
+                # reference semantics: only the break is global - every
+                # lane keeps flipping (and its threshold machine keeps
+                # running) while any lane in the 32-frame word is dirty
+                # (CDecoder_FAID.cpp:6782-7086).  count >= 0, so adding
+                # the tile total makes dirty the splat of `any dirty`.
+                dirty = (count + jnp.sum(count)) > 0    # [BT, 1]
+            else:
+                dirty = count > 0                       # [BT, 1]
             rounds = rounds + dirty.astype(jnp.int32)
 
             del t32
@@ -416,12 +442,14 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
                     jnp.add,
                     [u.astype(jnp.int32).sum(axis=1, keepdims=True)
                      for u in unsat_rows])                  # [BT, 1]
-                active = count > 0
+                any_active = jnp.any(count > 0)
+                # group mode: no per-frame freeze - pl.when(any_active)
+                # is the reference's whole-SIMD-word break.
+                active = None if group else (count > 0)
                 l_m_err = count < dcfg.floor_err_count
-                any_active = jnp.any(active)
             else:
                 unsat_rows = [None] * n_rows
-                active = jnp.ones((bt, 1), jnp.bool_)
+                active = None      # no early stop: every frame updates
                 l_m_err = jnp.zeros((bt, 1), jnp.bool_)
                 any_active = jnp.bool_(True)
 
@@ -444,7 +472,11 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
                     row_update(en32, msgs_ref, lut_packed, it, r, active,
                                unsat_rows[r], l_m_err, in_floor,
                                unsat_rows=unsat_rows, era_ref=era_ref)
-                iters_out[...] = iters_out[...] + active.astype(jnp.int32)
+                # frame mode counts frames that were dirty at the top;
+                # group mode counts the whole tile while it is dirty
+                # (the same granularity the XLA path's group_any uses).
+                iters_out[...] = iters_out[...] + (
+                    1 if active is None else active.astype(jnp.int32))
 
             return any_active
 
@@ -476,6 +508,10 @@ def make_mp_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
     mp_iters [B] int32); B must be a multiple of bt."""
     if not supports(dcfg):
         raise ValueError("config not supported by the fused kernel")
+    if dcfg.stop_mode == "group" and bt != 32:
+        raise ValueError(
+            f"group mode requires bt == 32 (the reference SIMD word); "
+            f"got bt={bt}")
     style = _style_for(dcfg)
     c_blocks = code.n_block_cols
     z = code.z
@@ -549,6 +585,10 @@ def make_full_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
         raise ValueError("no BF post-processor in this config")
     if not supports(dcfg):
         raise ValueError("config not supported by the fused kernel")
+    if dcfg.stop_mode == "group" and bt != 32:
+        raise ValueError(
+            f"group mode requires bt == 32 (the reference SIMD word); "
+            f"got bt={bt}")
     style = _style_for(dcfg)
     c_blocks = code.n_block_cols
     z = code.z

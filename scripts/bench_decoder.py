@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--backends", type=str, default="xla,pallas")
     ap.add_argument("--bt", type=int, default=32)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--stop-mode", default="frame",
+                    choices=["frame", "group"])
     ap.add_argument("--check", action="store_true",
                     help="compare backend outputs for equality")
     args = ap.parse_args()
@@ -40,7 +42,8 @@ def main():
 
     code = load_code("50gpon")
     dcfg = DecoderConfig.for_method(DecodeMethod(args.method),
-                                    max_iter=args.iters)
+                                    max_iter=args.iters,
+                                    stop_mode=args.stop_mode)
     scfg = SimConfig(snr_start=args.snr)
     sigma = args.sigma if args.sigma is not None else scfg.sigma_at(args.snr)
 

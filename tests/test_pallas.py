@@ -16,7 +16,11 @@ METHODS = list(DecodeMethod)
 
 
 def small_cfg(method, max_iter=4, bf_iter=3):
-    dcfg = DecoderConfig.for_method(method, max_iter=max_iter)
+    # NMS gets its own 26/32 factors: the shared Profile default 1/6
+    # floors the NMS normalization to zero and fires the degenerate-
+    # factor warning (decoders/core.py) on every build.
+    kw = dict(factor_1=26, factor_2=32) if method == DecodeMethod.NMS else {}
+    dcfg = DecoderConfig.for_method(method, max_iter=max_iter, **kw)
     if dcfg.bf.kind != "none":
         dcfg = dataclasses.replace(
             dcfg, bf=dataclasses.replace(dcfg.bf, max_iter=bf_iter))
@@ -38,43 +42,43 @@ def test_pallas_matches_xla_toy(rng, method):
     np.testing.assert_array_equal(a["bf_rounds"], b["bf_rounds"])
 
 
-def test_supports_gates_group_mode():
-    """The kernel freezes per frame, so group mode is xla-only - except
-    where group semantics are vacuous (no early stop, no BF: NMS), which
-    stays on the fast kernel.  The full-decoder factory must enforce the
-    same gate as make_mp_decoder."""
-    from faid_tpu.ops import pallas_decoder as pk
+@pytest.mark.parametrize("method", METHODS)
+def test_pallas_matches_xla_toy_group(rng, method):
+    """Group mode (reference 32-frame-word early-stop semantics) in the
+    fused kernel must match the xla group-mode decoder bit-for-bit.
+    Batch 64 = two independent 32-frame groups, so the test covers a
+    clean group coexisting with a dirty one."""
+    code = toy_code()
+    dcfg = dataclasses.replace(small_cfg(method), stop_mode="group")
+    ref = jax.jit(build_decoder(code, dcfg, backend="xla"))
+    pal = jax.jit(build_decoder(code, dcfg, backend="pallas",
+                                interpret=True, pallas_bt=32))
+    llr = rng.integers(-7, 8, size=(64, code.n_var)).astype(np.int8)
+    # Make group 0 mostly clean early (strong correct LLRs for the
+    # all-zero codeword) so the two groups exit at different rounds.
+    llr[:32] = np.minimum(llr[:32], -1)
+    a = jax.tree.map(np.asarray, ref(jnp.asarray(llr)))
+    b = jax.tree.map(np.asarray, pal(jnp.asarray(llr)))
+    np.testing.assert_array_equal(a["hard"], b["hard"], err_msg=method.name)
+    np.testing.assert_array_equal(a["mp_iters"], b["mp_iters"])
+    np.testing.assert_array_equal(a["bf_rounds"], b["bf_rounds"])
 
-    nms_group = dataclasses.replace(
-        DecoderConfig.for_method(DecodeMethod.NMS), stop_mode="group")
-    assert pk.supports(nms_group)          # vacuous group semantics
+
+def test_group_mode_requires_bt32():
+    """Group semantics are tied to the reference's 32-frame SIMD word;
+    the factories reject any other tile size."""
+    from faid_tpu.ops import pallas_decoder as pk
 
     faid_group = dataclasses.replace(
         DecoderConfig.for_method(DecodeMethod.FAID_DTBF),
         stop_mode="group")
-    assert not pk.supports(faid_group)
-    with pytest.raises(ValueError):
-        pk.make_full_decoder(toy_code(), faid_group)
-
-    oms_group = dataclasses.replace(
-        DecoderConfig.for_method(DecodeMethod.OMS), stop_mode="group")
-    assert not pk.supports(oms_group)      # early stop is group-sensitive
-
-
-def test_group_nms_pallas_matches_xla(rng):
-    """NMS in group mode runs the fused kernel (vacuous-group fast path)
-    and must still match the xla group-mode decoder bit-for-bit."""
-    code = toy_code()
-    dcfg = dataclasses.replace(small_cfg(DecodeMethod.NMS),
-                               stop_mode="group")
-    ref = jax.jit(build_decoder(code, dcfg, backend="xla"))
-    pal = jax.jit(build_decoder(code, dcfg, backend="pallas",
-                                interpret=True, pallas_bt=32))
-    llr = rng.integers(-7, 8, size=(32, code.n_var)).astype(np.int8)
-    a = jax.tree.map(np.asarray, ref(jnp.asarray(llr)))
-    b = jax.tree.map(np.asarray, pal(jnp.asarray(llr)))
-    np.testing.assert_array_equal(a["hard"], b["hard"])
-    np.testing.assert_array_equal(a["mp_iters"], b["mp_iters"])
+    assert pk.supports(faid_group)
+    with pytest.raises(ValueError, match="bt == 32"):
+        pk.make_full_decoder(toy_code(), faid_group, bt=64)
+    with pytest.raises(ValueError, match="bt == 32"):
+        pk.make_mp_decoder(toy_code(), dataclasses.replace(
+            DecoderConfig.for_method(DecodeMethod.OMS), stop_mode="group"),
+            bt=64)
 
 
 # Full-code kernel parity runs compiled on real TPU hardware
