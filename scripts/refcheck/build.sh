@@ -23,5 +23,27 @@ for src in CLDPC CDecoder_OMS CDecoder_FAID CDecoder_OMSBF \
 done
 echo "CC harness.cpp"
 $CXX $FLAGS -c "$HERE/harness.cpp" -o "$BUILD/harness.o"
-$CXX $FLAGS "$BUILD"/*.o -o "$BUILD/refharness"
+OBJS="$BUILD/CLDPC.o $BUILD/CDecoder_OMS.o $BUILD/CDecoder_OMSBF.o \
+      $BUILD/CDecoder_OMS_DTBF.o $BUILD/CDecoder_FAID_2B1C.o \
+      $BUILD/CTool.o $BUILD/CModulate.o $BUILD/harness.o"
+$CXX $FLAGS $OBJS "$BUILD/CDecoder_FAID.o" -o "$BUILD/refharness"
 echo "built $BUILD/refharness"
+
+# LUT-family variants: the reference hard-codes `#define FAID3` at
+# CDecoder_FAID.cpp:8 with alternative tables under #ifdef FAID32 /
+# #ifdef FAID2 (same symbol names, so -D alone would double-define).
+# Neutralize that one line into a build-dir copy and select the family
+# with -D; everything else is the unmodified reference object code.
+for fam in FAID32 FAID2; do
+    lower=$(echo "$fam" | tr 'A-Z' 'a-z')
+    src="$BUILD/CDecoder_FAID_$lower.cpp"
+    obj="$BUILD/CDecoder_FAID_$lower.o"
+    if [ ! -f "$obj" ] || [ "$REF/CDecoder_FAID.cpp" -nt "$obj" ]; then
+        sed 's/^#define FAID3$/\/\/ LUT family selected by -D (refcheck build.sh)/' \
+            "$REF/CDecoder_FAID.cpp" > "$src"
+        echo "CC CDecoder_FAID.cpp [-D$fam]"
+        $CXX $FLAGS -D$fam -c "$src" -o "$obj"
+    fi
+    $CXX $FLAGS $OBJS "$obj" -o "$BUILD/refharness_$lower"
+    echo "built $BUILD/refharness_$lower"
+done

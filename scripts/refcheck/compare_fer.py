@@ -37,23 +37,35 @@ REPO = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO))
 
 
-def run_point(code, method, f1, f2, snr, stop_mode, backend, batch,
+def run_point(code, rr, stop_mode, backend, batch,
               target_errors, max_frames, seed):
+    import zlib
+
     import jax
     import jax.numpy as jnp
 
     from faid_tpu.config import DecodeMethod, SimConfig
     from faid_tpu.sim.pipeline import build_sim_loop
 
+    method = rr["_method"]
     cfg = SimConfig(decode_method=DecodeMethod(method), max_iteration=6,
-                    mod_type=2, batch_per_device=batch, seed=seed,
-                    factor_1=f1, factor_2=f2, stop_mode=stop_mode,
+                    mod_type=rr.get("mod_type", 2),
+                    interleave_depth=rr.get("depth", 1),
+                    scale=rr.get("scale", 13.0),
+                    faid_lut=rr.get("lut", "faid3"),
+                    batch_per_device=batch, seed=seed,
+                    factor_1=rr["factor_1"], factor_2=rr["factor_2"],
+                    stop_mode=stop_mode,
                     backend=backend, fake_encode=True)
     rounds = 4
     loop = jax.jit(build_sim_loop(code, cfg, rounds, backend=cfg.backend))
-    sigma = jnp.float32(cfg.sigma_at(snr))
-    point_id = (method * 1_000_000 + f1 * 10_000 + int(round(snr * 10)) * 10
-                + (0 if stop_mode == "group" else 1))
+    sigma = jnp.float32(cfg.sigma_at(rr["snr_db"]))
+    # Deterministic per-point stream separation (a str hash would be
+    # PYTHONHASHSEED-randomized across processes).
+    point_id = zlib.crc32(
+        f"{method}/{rr['factor_1']}/{rr['factor_2']}/{rr['snr_db']}/"
+        f"{cfg.mod_type}/{cfg.interleave_depth}/{cfg.scale}/"
+        f"{cfg.faid_lut}/{stop_mode}".encode()) & 0x7FFFFFFF
     key = jax.random.fold_in(jax.random.key(seed), point_id)
     # device_get, not block_until_ready: the latter can return before the
     # fresh dispatch executed (docs/ROOFLINE.md), bleeding compile+warm-up
@@ -102,20 +114,51 @@ def main():
     ref_rows = json.loads(Path(args.ref).read_text())
     name_to_m = {m.name: m.value for m in DecodeMethod}
 
+    def rowkey(r):
+        return (r["method"], r["snr_db"], r["factor_1"], r["factor_2"],
+                r.get("mod_type", 2), r.get("depth", 1),
+                r.get("scale", 13.0), r.get("lut", "faid3"))
+
+    # Resume support: completed rows in an existing out-file are kept
+    # (each row is written as soon as it finishes - a killed run loses
+    # at most the in-flight row).
+    done = {}
+    if Path(args.out + ".json").exists():
+        for r in json.loads(Path(args.out + ".json").read_text())["rows"]:
+            if "frame_fer" in r and rowkey(r) in {rowkey(x) for x in ref_rows}:
+                # Rows cached from a pre-matrix artifact lack the newer
+                # operating-point keys; backfill the defaults they ran at.
+                for k, dv in (("mod_type", 2), ("depth", 1),
+                              ("scale", 13.0), ("lut", "faid3")):
+                    r.setdefault(k, dv)
+                done[rowkey(r)] = r
+
     out_rows, all_ok = [], True
     for rr in ref_rows:
-        m = name_to_m[rr["method"]]
+        rr = dict(rr)
+        rr["_method"] = name_to_m[rr["method"]]
         f1, f2 = rr["factor_1"], rr["factor_2"]
         snr = rr["snr_db"]
+        if rowkey(rr) in done:
+            res = done[rowkey(rr)]
+            all_ok &= res["consistent"]
+            out_rows.append(res)
+            print(f"{rr['method']:10s} {snr:.1f} dB (cached row)",
+                  flush=True)
+            continue
         # Enough errors for the z-test to have teeth; deep points are
         # bounded by max-frames.
         target = max(50, min(200, rr["error_frames"]))
         res = {"method": rr["method"], "snr_db": snr,
                "factor_1": f1, "factor_2": f2,
+               "mod_type": rr.get("mod_type", 2),
+               "depth": rr.get("depth", 1),
+               "scale": rr.get("scale", 13.0),
+               "lut": rr.get("lut", "faid3"),
                "ref_fer": rr["fer"], "ref_frames": rr["frames"],
                "ref_error_frames": rr["error_frames"]}
         for mode in ("group", "frame"):
-            c, dt = run_point(code, m, f1, f2, snr, mode, args.backend,
+            c, dt = run_point(code, rr, mode, args.backend,
                               args.batch, target, args.max_frames,
                               args.seed)
             fer = c["error_frames"] / max(c["test_frames"], 1)
@@ -129,10 +172,15 @@ def main():
         res["consistent"] = z is None or abs(z) < args.z_threshold
         all_ok &= res["consistent"]
         out_rows.append(res)
-        print(f"{rr['method']:10s} {snr:.1f} dB f={f1}/{f2}  "
+        print(f"{rr['method']:10s} {snr:.1f} dB f={f1}/{f2} "
+              f"mod={res['mod_type']} d={res['depth']} s={res['scale']:g} "
+              f"{res['lut']}  "
               f"ref {rr['fer']:.3e}  group {res['group_fer']:.3e} "
               f"(z={res['z_group_vs_ref']})  frame {res['frame_fer']:.3e}  "
               f"{'OK' if res['consistent'] else 'DIVERGENT'}", flush=True)
+        Path(args.out + ".json").write_text(json.dumps(
+            {"all_consistent": all_ok, "z_threshold": args.z_threshold,
+             "rows": out_rows}, indent=1) + "\n")
 
     rec = {"all_consistent": all_ok, "z_threshold": args.z_threshold,
            "rows": out_rows}
@@ -140,21 +188,25 @@ def main():
 
     lines = [
         "# Reference-binary FER vs faid_tpu (statistical parity)\n\n",
-        "Same operating point per row (QPSK all-zero codeword, 6 MP "
-        "iterations, scale 13, 4-bit LLRs); reference decodes via its own "
+        "Same operating point per row (all-zero codeword, 6 MP "
+        "iterations, 4-bit LLRs; mod/depth/scale/LUT-family per row); "
+        "reference decodes via its own "
         "compiled AVX code (scripts/refcheck/run_fer.py), faid_tpu via "
         "this framework with stop_mode='group' (the reference's 32-frame "
         "early-stop granularity). z = two-proportion z-test group-vs-ref; "
         "'frame' columns show the TPU-default per-frame early stop for "
         "the measured deviation (VERDICT r1 item 7).\n\n",
-        "| method | SNR | factors | ref FER (frames) | group FER (frames) "
+        "| method | SNR | factors | mod | depth | scale | lut "
+        "| ref FER (frames) | group FER (frames) "
         "| z | frame FER (frames) | consistent |\n",
-        "|---|---|---|---|---|---|---|---|\n",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|\n",
     ]
     for r in out_rows:
         lines.append(
             f"| {r['method']} | {r['snr_db']:.1f} | "
             f"{r['factor_1']}/{r['factor_2']} | "
+            f"{r['mod_type']} | {r['depth']} | {r['scale']:g} | "
+            f"{r['lut']} | "
             f"{r['ref_fer']:.3e} ({r['ref_frames']}) | "
             f"{r['group_fer']:.3e} ({r['group_frames']}) | "
             f"{r['z_group_vs_ref']} | "

@@ -23,7 +23,7 @@
 //       out: 32*17664 floats, DeInterLeaveSeq layout = fixInput layout
 //            (Demodulation :270-362 + AfterDeModulationDeInterleaver
 //            :156-212)
-//   fer <method> <max_iter> <sigma> <scale> <n_rounds> <seed> [mod_type]
+//   fer <method> <max_iter> <sigma> <scale> <n_rounds> <seed> [mod_type] [depth]
 //       FakeEncoder (all-zero codeword) Monte-Carlo with std::mt19937
 //       noise; prints JSON counters.  Reproduces CSimulate::Run
 //       (CSimulate.cpp:92-180) without CSimulate.cpp (which has a stray
@@ -150,17 +150,18 @@ int main(int argc, char** argv)
     }
 
     if (mode == "fer") {
-        if (argc < 8) die("fer <method> <max_iter> <sigma> <scale> <n_rounds> <seed> [mod_type=1]");
+        if (argc < 8) die("fer <method> <max_iter> <sigma> <scale> <n_rounds> <seed> [mod_type=1] [depth=1]");
         int method = atoi(argv[2]), max_iter = atoi(argv[3]);
         float sigma = (float)atof(argv[4]), scale = (float)atof(argv[5]);
         long n_rounds = atol(argv[6]);
         unsigned seed = (unsigned)atol(argv[7]);
         int mod_type = argc > 8 ? atoi(argv[8]) : 1;
+        int depth = argc > 9 ? atoi(argv[9]) : 1;
         CLDPC ldpc;
         ldpc.Initial((int)FR, max_iter);
         CModulate m;
         m.ModulationType = mod_type;
-        m.InterleaveModType = 1;
+        m.InterleaveModType = depth;
         m.Initial(FR * CHAN);
         ldpc.FakeEncoder();
         std::mt19937 rng(seed);
