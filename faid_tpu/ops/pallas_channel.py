@@ -74,17 +74,22 @@ def supports(code: QCCode, cfg) -> bool:
 
     BPSK/QPSK only: for 16-QAM+ the folded demap makes several LLRs
     share one rail draw, so per-bit quantile sampling does not apply
-    (those paths keep the XLA float chain).  Any interleave depth is
-    fine -- with one bit per LLR the interleave/deinterleave pair is
-    transparent end-to-end."""
+    (those paths keep the XLA float chain).
+    Any interleave depth is fine -- with one bit per LLR the
+    interleave/deinterleave pair is transparent end-to-end.
+
+    The tiling constraints (lane-multiple divisor of n_var, batch %
+    _BT) only apply to the TPU kernel; the portable jnp/threefry
+    backend used on CPU and virtual meshes has no shape requirements."""
     if cfg.mod_type not in _AMPLITUDE:
         return False
     if cfg.quant_bits not in (2, 3, 4, 5):    # truncating quantizers
         return False
-    if _pick_nt(code.n_var) is None:
-        return False
-    if cfg.batch_per_device % _BT != 0:
-        return False
+    if jax.devices()[0].platform == "tpu":
+        if _pick_nt(code.n_var) is None:
+            return False
+        if cfg.batch_per_device % _BT != 0:
+            return False
     return True
 
 
@@ -109,14 +114,21 @@ def _sigma_rail(cfg, sigma):
 def _threshold_ints(cfg, sigma) -> jnp.ndarray:
     """int32[2L+1] staircase thresholds on the uniform int32 grid for a
     transmitted '0' bit (amplitude -a): [A_1..A_L, B_1..B_L, H] with
+    STRICT compares
 
-      q >= k      <=>  ix >= A_k
-      q <= -k     <=>  ix <= B_k
-      soft > 0    <=>  ix >= H      (pre-decoder hard decision)
+      q >= k      <=>  ix >  A_k
+      q <= -k     <=>  ix <  B_k
+      soft > 0    <=>  ix >  H      (pre-decoder hard decision)
 
     where ix is a uniform int32 (u = (ix + 2^31)/2^32).  Tail-accurate:
-    every probability is evaluated on its small side with ndtr and
-    converted with exact integer arithmetic."""
+    every probability is evaluated on its small side with ndtr,
+    round-to-nearest onto the 2^-32 grid, and converted with exact
+    integer arithmetic.  Strict compares let a step whose probability
+    rounds to 0 (p < 2^-33) saturate to an UNREACHABLE threshold
+    (INT32_MAX / INT32_MIN) instead of being clamped up to one grid
+    unit - deep-floor campaigns no longer see spurious ~2.3e-10/bit
+    max-magnitude wrong LLRs that the float chain essentially never
+    produces."""
     lo, hi = _QUANT_LIMITS[cfg.quant_bits]
     L = max(hi, -lo)
     a = jnp.float32(_AMPLITUDE[cfg.mod_type])
@@ -127,26 +139,36 @@ def _threshold_ints(cfg, sigma) -> jnp.ndarray:
     two32 = jnp.float32(4294967296.0)
     xmax = jnp.float32(2**31 - 256)          # f32-representable clamp
 
-    def small_to_int(p):
-        # round(p * 2^32), clamped to [1, 2^31-256], exact in int32.
+    def grid(p):
+        # round(p * 2^32) onto the uniform grid; 0 allowed (step never
+        # fires through the strict compare).
+        return jnp.clip(jnp.rint(p * two32), 0.0, xmax).astype(jnp.int32)
+
+    def grid1(p):
+        # variant clamped to >= 1 for the one complement-side use where
+        # count 0 would overflow int32 (and is not a tail event).
         return jnp.clip(jnp.rint(p * two32), 1.0, xmax).astype(jnp.int32)
 
     ndtr = jax.scipy.special.ndtr
 
-    # A_k: t = (k/scale + a)/srail > 0 always; P(z >= t) = ndtr(-t).
+    # A_k: t = (k/scale + a)/srail > 0 always; P(z >= t) = ndtr(-t);
+    # exactly grid(p) of the 2^32 ix values satisfy ix > A_k.
     t_a = (k * inv_scale + a) / srail
-    A = jnp.int32(2**31 - 1) - small_to_int(ndtr(-t_a)) + 1
+    A = jnp.int32(2**31 - 1) - grid(ndtr(-t_a))
 
     # B_k: t' = (a - k/scale)/srail, sign depends on k and scale.
     t_b = (a - k * inv_scale) / srail
-    #   t' > 0:  P(z <= t') = 1 - ndtr(-t');  T = 2^31-1 - round(p*2^32)
-    T_pos = jnp.int32(2**31 - 1) - small_to_int(ndtr(-t_b))
-    #   t' <= 0: P(z <= t') = ndtr(t') small;  T = -2^31 + round(q*2^32) - 1
-    T_neg = jnp.int32(-(2**31)) + small_to_int(ndtr(t_b)) - 1
+    #   t' > 0:  P(z <= t') = 1 - ndtr(-t') is large; the small side is
+    #   the complement, so count-0 would mean B = INT32_MAX + 1 - keep
+    #   the >=1 clamp here (bias 2^-32 on a near-certain step).
+    T_pos = jnp.int32(2**31 - 1) - grid1(ndtr(-t_b)) + 1
+    #   t' <= 0: P(z <= t') = ndtr(t') small; grid 0 -> B = INT32_MIN,
+    #   unreachable via ix < B.
+    T_neg = jnp.int32(-(2**31)) + grid(ndtr(t_b))
     B = jnp.where(t_b > 0, T_pos, T_neg)
 
     # H: soft > 0  <=>  z > a/srail.
-    H = jnp.int32(2**31 - 1) - small_to_int(ndtr(-a / srail)) + 1
+    H = jnp.int32(2**31 - 1) - grid(ndtr(-a / srail))
 
     return jnp.concatenate([A, B, H[None]])
 
@@ -163,12 +185,12 @@ def staircase(ix: jnp.ndarray, mask: jnp.ndarray, params,
     ixe = ix ^ mask
     q = jnp.zeros(ix.shape, jnp.int32)
     for i in range(L):
-        q = q + (ixe >= params[i]).astype(jnp.int32)
-        q = q - (ixe <= params[L + i]).astype(jnp.int32)
+        q = q + (ixe > params[i]).astype(jnp.int32)
+        q = q - (ixe < params[L + i]).astype(jnp.int32)
     q = (q ^ mask) - mask                      # restore the bit's sign
     if -lo != hi:                              # asymmetric final clip
         q = jnp.clip(q, lo, hi)
-    err = (ixe >= params[2 * L]).astype(jnp.int8)
+    err = (ixe > params[2 * L]).astype(jnp.int8)
     return q.astype(jnp.int8), err
 
 
@@ -191,17 +213,23 @@ def _key_seeds(key: jax.Array) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(kd, jnp.int32)
 
 
-def build_fused_channel(code: QCCode, cfg) -> Callable:
+def build_fused_channel(code: QCCode, cfg, interpret: bool = False) -> Callable:
     """Returns channel(cw_int8[batch, n], key, sigma) ->
     (llr int8[batch, n], mod_err int8[batch, n]).
 
     ``mod_err[i, j]`` is 1 where the pre-decoder hard decision differs
     from the transmitted bit (the ModCalErr indicator).  On TPU this is
     one Pallas kernel (hardware PRNG); elsewhere the same staircase on
-    threefry words."""
+    threefry words.  ``interpret=True`` forces the Pallas kernel in
+    interpret mode on any platform (CI coverage of the kernel + its
+    shard_map vma workaround without hardware)."""
     if not supports(code, cfg):
         raise ValueError("fused channel unsupported for this config "
                          "(BPSK/QPSK + 2..5-bit quantizer only)")
+    if interpret and (_pick_nt(code.n_var) is None
+                      or cfg.batch_per_device % _BT):
+        raise ValueError("kernel tiling needs batch % 64 == 0 and a "
+                         "lane-multiple divisor of n_var")
     n = code.n_var
     nt = _pick_nt(n)
     batch = cfg.batch_per_device
@@ -237,6 +265,7 @@ def build_fused_channel(code: QCCode, cfg) -> Callable:
                       pl.BlockSpec((_BT, nt), lambda i, j: (i, j))],
             out_specs=(pl.BlockSpec((_BT, nt), lambda i, j: (i, j)),
                        pl.BlockSpec((_BT, nt), lambda i, j: (i, j))),
+            interpret=interpret,
         )(params, cw)
 
     def channel_jnp(cw, key, sigma):
@@ -247,6 +276,6 @@ def build_fused_channel(code: QCCode, cfg) -> Callable:
         return staircase(ix, mask, params, quant_bits)
 
     # Same platform resolution as decoders/core.py backend="auto".
-    if jax.devices()[0].platform == "tpu":
+    if interpret or jax.devices()[0].platform == "tpu":
         return channel_tpu
     return channel_jnp

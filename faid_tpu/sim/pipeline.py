@@ -31,6 +31,25 @@ from ..ops import channel, modem, pallas_channel
 from ..ops import fixed_point as fp
 
 
+def _resolve_fused_channel(code: QCCode, cfg: SimConfig):
+    """channel_backend='fused' -> the fused-channel callable, or None
+    with a warning when the config is outside the kernel's coverage
+    (the pipeline then uses the xla float chain; the two are
+    statistically identical, see ops/pallas_channel.py)."""
+    if cfg.channel_backend != "fused":
+        return None
+    if pallas_channel.supports(code, cfg):
+        return pallas_channel.build_fused_channel(code, cfg)
+    import warnings
+
+    warnings.warn(
+        f"channel_backend='fused' is not supported for this config "
+        f"(mod_type={cfg.mod_type}, quant_bits={cfg.quant_bits}, "
+        f"batch_per_device={cfg.batch_per_device}); falling back to the "
+        f"xla float chain.", stacklevel=3)
+    return None
+
+
 def build_sim_step(code: QCCode, cfg: SimConfig,
                    backend: str = "auto") -> Callable:
     """Returns step(key, sigma) -> dict of int32 scalar counters.
@@ -44,10 +63,7 @@ def build_sim_step(code: QCCode, cfg: SimConfig,
     batch = cfg.batch_per_device
     n_info = code.n_info
     mod = cfg.mod_type
-    if cfg.channel_backend == "fused":
-        fused_channel = pallas_channel.build_fused_channel(code, cfg)
-    else:
-        fused_channel = None
+    fused_channel = _resolve_fused_channel(code, cfg)
 
     def step(key: jax.Array, sigma: jax.Array) -> dict:
         k_msg, k_noise = jax.random.split(key)
@@ -151,10 +167,7 @@ def build_debug_step(code: QCCode, cfg: SimConfig,
     batch = cfg.batch_per_device
     n_info = code.n_info
     mod = cfg.mod_type
-    if cfg.channel_backend == "fused":
-        fused_channel = pallas_channel.build_fused_channel(code, cfg)
-    else:
-        fused_channel = None
+    fused_channel = _resolve_fused_channel(code, cfg)
 
     def debug(key: jax.Array, sigma: jax.Array) -> dict:
         k_msg, k_noise = jax.random.split(key)
