@@ -44,6 +44,12 @@ def main():
                          "kernel, statistically validated vs the float "
                          "chain: tests/test_pallas_channel.py + "
                          "docs/channel_parity.json)")
+    ap.add_argument("--stop-mode", default="group",
+                    choices=["frame", "group"],
+                    help="early-stop granularity (default 'group' = the "
+                         "reference's 32-frame-word semantics, which is "
+                         "also the faster fused path; 'frame' = per-frame "
+                         "freeze)")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -61,6 +67,7 @@ def main():
     cfg = SimConfig(decode_method=DecodeMethod(args.method),
                     max_iteration=6, mod_type=2,
                     batch_per_device=args.batch, seed=0,
+                    stop_mode=args.stop_mode,
                     channel_backend=args.channel)
     loop = jax.jit(build_sim_loop(code, cfg, args.rounds,
                                   backend=args.backend))
@@ -102,7 +109,9 @@ def main():
     }))
     # Context for humans (stderr-style extras kept off the JSON line).
     import sys
-    print(f"# frames={frames} wall={dt:.2f}s fer={stats['error_frames']}"
+    print(f"# channel={args.channel} stop_mode={args.stop_mode} "
+          f"backend={args.backend} frames={frames} wall={dt:.2f}s "
+          f"fer={stats['error_frames']}"
           f"/{stats['test_frames']} avg_it="
           f"{stats['mp_iters']/max(stats['test_frames'],1):.2f}",
           file=sys.stderr)

@@ -50,10 +50,20 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--giveup-zero-error-frames", type=int, default=None,
                     help="abandon an SNR point still at zero errors after "
                          "this many frames (records an FER upper bound)")
-    ap.add_argument("--stop-mode", type=str, default=None,
+    ap.add_argument("--stop-mode", type=str, default="group",
                     choices=["frame", "group"],
-                    help="early-stop granularity: per frame (default) or "
-                         "per 32-frame group (reference emulation)")
+                    help="early-stop granularity. Default 'group' = the "
+                         "reference's 32-frame-SIMD-word semantics "
+                         "(CDecoder_OMS.cpp:325-327) - bit-faithful FER "
+                         "curves AND the faster fused-kernel path "
+                         "(docs/BENCH.md). 'frame' freezes each frame "
+                         "individually: ~2x lower DTBF FER at waterfall "
+                         "SNR (docs/refcheck_fer_compare.md), works for "
+                         "any batch size.")
+    ap.add_argument("--itercount-ref-format", action="store_true",
+                    help="write iterCount.txt as the reference's "
+                         "'remaining: count' lines (CSimulate.cpp:171-179) "
+                         "for byte-compatible tooling")
     ap.add_argument("--collect-errors", action="store_true",
                     help="always dump failing-frame forensics (otherwise "
                          "auto when FER < 1e-5, the reference collectflag)")
@@ -169,7 +179,8 @@ def main(argv=None) -> int:
 
     runner.write_result_txt(out / "Result.txt")
     runner.write_demod_txt(out / "demod.txt")
-    runner.write_itercount_txt(out / "iterCount.txt")
+    runner.write_itercount_txt(out / "iterCount.txt",
+                               ref_format=args.itercount_ref_format)
     rows = runner.report_rows()
     collect = args.collect_errors or any(
         r["fer"] < 1e-5 for r in rows)  # reference collectflag main.cpp:190

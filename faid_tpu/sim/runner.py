@@ -278,14 +278,31 @@ class MonteCarloRunner:
                 f"{r['lt3_frames']:>14d} {r['seconds']:>9.2f}\n")
         Path(path).write_text("".join(lines))
 
-    def write_itercount_txt(self, path: str | Path):
+    def write_itercount_txt(self, path: str | Path,
+                            ref_format: bool = False):
         """Iteration-histogram table per SNR point - the reference appends
         the remaining-BF-iteration histogram to iterCount.txt
-        (CSimulate.cpp:171-179); here both MP and BF histograms."""
+        (CSimulate.cpp:171-179); here both MP and BF histograms.
+
+        ``ref_format=True`` emits the reference's exact ``i: count``
+        lines instead, keyed by REMAINING BF iterations (cap - used,
+        the value the decoders return, e.g. CDecoder_OMSBF.cpp:3557),
+        zero-count lines skipped.  Granularity deviation: the reference
+        increments once per 32-frame SIMD word; these counts are per
+        frame (divide by 32 under stop_mode='group', where all frames
+        of a word share one BF loop, to recover word counts)."""
         lines = []
+        bf_cap = self.cfg.decoder().bf.max_iter
         for r in self.results:
             mp = r.counters.get("mp_hist", [])
             bf = r.counters.get("bf_hist", [])
+            if ref_format:
+                for i in range(1, bf_cap + 1):
+                    used = bf_cap - i
+                    n = bf[used] if used < len(bf) else 0
+                    if n:
+                        lines.append(f"{i}: {n}\n")
+                continue
             lines.append(f"SNR {r.snr_db:.2f}\n")
             lines.append("  mp_iters " +
                          " ".join(str(x) for x in mp) + "\n")

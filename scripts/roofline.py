@@ -50,8 +50,40 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+def hashn(s: str) -> int:
+    """Tiny deterministic name -> int (PYTHONHASHSEED-independent)."""
+    return sum(s.encode()) & 0xFF
+
+
 OPS_PER_EDGE = 33          # see module docstring
 VPU_PEAK_LANE_OPS = 8 * 128 * 4 * 0.94e9   # v5e TensorCore VPU
+
+# Per-style op model for the --cross-check mode: the same hand count as
+# OPS_PER_EDGE, itemized per decoder style for the FIXED-ITERATION
+# kernel (stop_early=False: no syndrome sweep, no active masking).  The
+# three styles share pass-1/min-recurrence/pass-2 structure but differ
+# in the V2C magnitude path (nms: abs; oms: abs+clip; faid: 9-op packed
+# LUT chain) and the sign path (faid sign-backtrack adds eq+select) -
+# so if the measured per-iteration times of the three kernels sit in
+# the model's ratios, the hand count is consistent at the level of
+# those differences, which bounds the +-30% systematic doubt on the
+# utilization claim far tighter than one absolute number can.
+#   shared: pass1 roll+sub+widen+clip8(2)+satmax          = 6
+#           parity xor                                     = 1
+#           min1/min2 recurrence min+max+min               = 3
+#           pass2 eq+sel+signxor(2)+neg+sel+en add/clip8(2)
+#                 /sat(2)+cast+roll                        = 13
+#   per-style extras (per edge):
+#           nms : mag abs(1)                  + negs cmp(1)      = 2
+#           oms : mag abs+clip(2)             + negs cmp(1)      = 3
+#           faid: satmin(1) + lut chain(9)    + backtrack(3)     = 13
+#   per-row (amortized over mean degree 22.67):
+#           nms : 2x(mul+clip8(2)+min) = 8    oms/faid: 2x(sub+min) = 4
+_CROSS_MODEL = {
+    "nms": 6 + 1 + 3 + 13 + 2 + 8 / 22.67,
+    "oms": 6 + 1 + 3 + 13 + 3 + 4 / 22.67,
+    "faid": 6 + 1 + 3 + 13 + 13 + 4 / 22.67,
+}
 
 
 def main():
@@ -74,7 +106,8 @@ def main():
     import numpy as np
 
     from faid_tpu.code.qc_matrix import load_code
-    from faid_tpu.config import BFConfig, DecodeMethod, SimConfig
+    from faid_tpu.config import (BFConfig, DecodeMethod,
+                                 DecoderConfig, SimConfig)
     from faid_tpu.decoders.core import build_decoder
     from faid_tpu.sim.pipeline import build_sim_loop
 
@@ -180,6 +213,42 @@ def main():
         "est_vpu_utilization": lane_ops / dt / VPU_PEAK_LANE_OPS,
         "info_mbit_s": args.batch * code.n_info / dt / 1e6,
     }
+
+    # ---- 1b. op-model cross-check: NMS / OMS / FAID fixed kernels ------
+    # Three kernels, same skeleton, different magnitude/sign paths with
+    # analytically different op counts (_CROSS_MODEL).  If the measured
+    # per-iteration slopes sit in the model's ratios, the hand count is
+    # validated at the level of the inter-style differences (the LUT
+    # chain and backtrack are the riskiest entries in the 33-op model).
+    cross = {"model_ops_per_edge": dict(_CROSS_MODEL)}
+    styles = {
+        "nms": DecoderConfig.for_method(
+            DecodeMethod.NMS, max_iter=args.max_iter,
+            factor_1=26, factor_2=32),
+        "oms": dataclasses.replace(
+            DecoderConfig.for_method(DecodeMethod.OMS,
+                                     max_iter=args.max_iter),
+            oms_mode=0, stop_early=False, bf=BFConfig()),
+        "faid": dcfg_fixed,
+    }
+    for sname, sdcfg in styles.items():
+        sdec = jax.jit(build_decoder(code, sdcfg, backend="pallas",
+                                     pallas_bt=args.bt))
+        sdt, sovh, sraw = timed(sdec, perturb=True, seed=55 + hashn(sname))
+        cross[sname] = {
+            "per_decode_s": sdt,
+            "per_iter_edge_ns": sdt / (args.max_iter * n_edges) * 1e9,
+            "model_ops": _CROSS_MODEL[sname],
+        }
+    base = cross["nms"]
+    for sname in ("nms", "oms", "faid"):
+        c = cross[sname]
+        c["measured_ratio_vs_nms"] = c["per_decode_s"] / base["per_decode_s"]
+        c["model_ratio_vs_nms"] = (
+            _CROSS_MODEL[sname] / _CROSS_MODEL["nms"])
+        c["ratio_error_pct"] = 100 * (
+            c["measured_ratio_vs_nms"] / c["model_ratio_vs_nms"] - 1)
+    results["cross_check"] = cross
 
     # ---- 2. production decoder (early stop + fused DTBF) ---------------
     dec = jax.jit(build_decoder(code, cfg.decoder(), backend="pallas",
