@@ -37,14 +37,18 @@ MAX_ROUNDS = 600
 BATCH = 2048
 ROUNDS_PER_CALL = 25
 Z_THRESHOLD = 4.0
-# (label, mod_type, snr_db, max_iteration)
+# (label, mod_type, snr_db, max_iteration, interleave_depth)
 FER_ROWS = [
-    ("qpsk", 2, 3.6, 6),
-    ("qpsk", 2, 3.7, 6),
-    ("bpsk", 1, 3.6, 6),
-    ("qpsk-floor-sigma", 2, 4.0, 2),   # weak decoder: countable FER
+    ("qpsk", 2, 3.6, 6, 1),
+    ("qpsk", 2, 3.7, 6, 1),
+    ("bpsk", 1, 3.6, 6, 1),
+    ("qpsk-floor-sigma", 2, 4.0, 2, 1),   # weak decoder: countable FER
+    # 16-QAM depth 2: exercises the shared-draw JOINT law (the decoder
+    # consumes all of a rail's LLRs) + the interleave wrapper.
+    ("16qam-d2", 4, 7.5, 6, 2),   # real-codeword waterfall
 ]
-HIST_ROWS = [("qpsk", 2, 3.6), ("qpsk", 2, 4.0), ("bpsk", 1, 4.0)]
+HIST_ROWS = [("qpsk", 2, 3.6), ("qpsk", 2, 4.0), ("bpsk", 1, 4.0),
+             ("16qam", 4, 8.1)]
 HIST_ROUNDS = 30            # x BATCH x n_var draws ~ 1.1e9 per row
 
 
@@ -84,6 +88,43 @@ def analytic_bin_probs(cfg, sigma):
     return probs
 
 
+def analytic_level_probs(cfg, sigma, level):
+    """float64 P(q_level = m) for the all-zero codeword (every rail
+    transmits sign 0, magnitude index 0) via the plan's static interval
+    expansion of the folded demap - independent of the float32 kernel
+    thresholds (math.erfc oracle)."""
+    from faid_tpu.ops import modem
+    from faid_tpu.ops.fixed_point import _QUANT_LIMITS
+    from faid_tpu.ops.pallas_channel import (_INF, _MAGNITUDES,
+                                             _expand_ge, _expand_le)
+
+    lo, hi = _QUANT_LIMITS[cfg.quant_bits]
+    assert -lo == hi, "asymmetric clip not folded here"
+    L = hi
+    folds = tuple(modem._FOLD[cfg.mod_type])
+    s = -float(_MAGNITUDES[cfg.mod_type][0])
+    srail = sigma / math.sqrt(2.0)
+
+    def p_gt(x):                 # P(y > x), y ~ N(s, srail)
+        return 0.5 * math.erfc((x - s) / srail / math.sqrt(2.0))
+
+    def p_event(intervals):
+        return sum((p_gt(a) if a != -_INF else 1.0)
+                   - (p_gt(b) if b != _INF else 0.0)
+                   for a, b in intervals)
+
+    p_ge = {k: p_event(_expand_ge(level, k / cfg.scale, folds))
+            for k in range(1, L + 1)}
+    p_le = {k: p_event(_expand_le(level, -k / cfg.scale, folds))
+            for k in range(1, L + 1)}
+    probs = {}
+    for v in range(1, L + 1):
+        probs[v] = p_ge[v] - (p_ge[v + 1] if v < L else 0.0)
+        probs[-v] = p_le[v] - (p_le[v + 1] if v < L else 0.0)
+    probs[0] = 1.0 - sum(probs.values())
+    return probs
+
+
 def run_hist_row(code, label, mod, snr):
     import jax
     import jax.numpy as jnp
@@ -96,36 +137,57 @@ def run_hist_row(code, label, mod, snr):
     chan = build_fused_channel(code, cfg)
     sigma = jnp.float32(cfg.sigma_at(snr))
     cw = jnp.zeros((BATCH, code.n_var), jnp.int8)
+    nlev = max(mod // 2, 1)
 
     @jax.jit
     def hist_step(key):
         llr, _ = chan(cw, key, sigma)
-        return jnp.bincount(llr.astype(jnp.int32).reshape(-1) + 8,
-                            length=16)
+        llr32 = llr.astype(jnp.int32)
+        if nlev == 1:
+            return jnp.bincount(llr32.reshape(-1) + 8, length=16)[None]
+        # per-level histograms: position p's level is (p % mod) // 2
+        by_lev = llr32.reshape(BATCH, code.n_var // mod, nlev, 2)
+        return jnp.stack([
+            jnp.bincount(by_lev[:, :, lev, :].reshape(-1) + 8, length=16)
+            for lev in range(nlev)])
 
     key = jax.random.key(stream_id("hist", label, snr))
     counts = None
     for r in range(HIST_ROUNDS):
         h = jax.device_get(hist_step(jax.random.fold_in(key, r)))
         counts = h if counts is None else counts + h
-    total = int(counts.sum())
-    probs = analytic_bin_probs(cfg, float(sigma))
-    bins, max_z, chi2, ndof = [], 0.0, 0.0, 0
-    for m, p in sorted(probs.items()):
-        obs = int(counts[m + 8])
-        exp = p * total
-        z = (obs - exp) / math.sqrt(max(exp * (1 - p), 1e-30)) if exp else 0.0
-        ok_for_z = exp >= 25          # normal approx validity
-        if ok_for_z:
-            max_z = max(max_z, abs(z))
-            chi2 += z * z
-            ndof += 1
-        bins.append({"q": m, "observed": obs, "expected": round(exp, 3),
-                     "z": round(z, 2) if ok_for_z else None})
-    return {"label": label, "mod_type": mod, "snr_db": snr,
-            "draws": total, "bins": bins, "max_abs_z": round(max_z, 2),
-            "chi2": round(chi2, 1), "ndof": ndof,
-            "consistent": max_z <= 5.0}
+
+    levels_out, max_z_all, ok = [], 0.0, True
+    for lev in range(nlev):
+        total = int(counts[lev].sum())
+        probs = (analytic_bin_probs(cfg, float(sigma)) if nlev == 1
+                 else analytic_level_probs(cfg, float(sigma), lev))
+        bins, max_z, chi2, ndof = [], 0.0, 0.0, 0
+        for m, p in sorted(probs.items()):
+            obs = int(counts[lev][m + 8])
+            exp = p * total
+            z = ((obs - exp) / math.sqrt(max(exp * (1 - p), 1e-30))
+                 if exp else 0.0)
+            ok_for_z = exp >= 25          # normal approx validity
+            if ok_for_z:
+                max_z = max(max_z, abs(z))
+                chi2 += z * z
+                ndof += 1
+            bins.append({"q": m, "observed": obs,
+                         "expected": round(exp, 3),
+                         "z": round(z, 2) if ok_for_z else None})
+        max_z_all = max(max_z_all, max_z)
+        ok &= max_z <= 5.0
+        levels_out.append({"level": lev, "draws": total, "bins": bins,
+                           "max_abs_z": round(max_z, 2),
+                           "chi2": round(chi2, 1), "ndof": ndof})
+    rec = {"label": label, "mod_type": mod, "snr_db": snr,
+           "levels": levels_out, "max_abs_z": round(max_z_all, 2),
+           "consistent": ok}
+    if nlev == 1:       # keep the flat round-2 shape for single-level
+        rec.update(levels_out[0])
+        rec.pop("level")
+    return rec
 
 
 def main():
@@ -143,11 +205,12 @@ def main():
     points = []
     all_ok = True
 
-    for label, mod, snr, max_it in FER_ROWS:
+    for label, mod, snr, max_it, depth in FER_ROWS:
         res = {}
         for chan in ("xla", "fused"):
             cfg = SimConfig(decode_method=DecodeMethod.FAID_DTBF,
                             max_iteration=max_it, mod_type=mod,
+                            interleave_depth=depth,
                             batch_per_device=BATCH, seed=0,
                             channel_backend=chan)
             loop = jax.jit(build_sim_loop(code, cfg, ROUNDS_PER_CALL))
@@ -198,8 +261,9 @@ def main():
         h = run_hist_row(code, label, mod, snr)
         all_ok &= h["consistent"]
         hists.append(h)
-        print(f"hist {label} {snr} dB: {h['draws']} draws, "
-              f"max|z|={h['max_abs_z']} chi2={h['chi2']}/{h['ndof']} "
+        draws = h.get("draws", sum(lv["draws"] for lv in h["levels"]))
+        print(f"hist {label} {snr} dB: {draws} draws, "
+              f"max|z|={h['max_abs_z']} "
               f"({'ok' if h['consistent'] else 'FAIL'})", flush=True)
 
     out_path = REPO / "docs" / "channel_parity.json"

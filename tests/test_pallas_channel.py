@@ -188,7 +188,158 @@ def test_sim_step_fused_vs_xla_statistics(code):
 def test_supports_gates(code):
     assert pc.supports(code, SimConfig(mod_type=2, quant_bits=4))
     assert pc.supports(code, SimConfig(mod_type=1, quant_bits=4))
-    assert not pc.supports(code, SimConfig(mod_type=4, quant_bits=4))
+    assert pc.supports(code, SimConfig(mod_type=4, quant_bits=4))
+    assert pc.supports(code, SimConfig(mod_type=6, quant_bits=4))
+    assert pc.supports(code, SimConfig(mod_type=8, quant_bits=4))
     assert not pc.supports(code, SimConfig(mod_type=2, quant_bits=6))
     with pytest.raises(ValueError):
-        pc.build_fused_channel(code, SimConfig(mod_type=4))
+        pc.build_fused_channel(code, SimConfig(mod_type=2, quant_bits=6))
+
+
+# --------------------------- QAM (shared-draw plan) ---------------------
+
+
+def test_qam_plan_matches_legacy_qpsk(rng):
+    """mod_type=2 through the generalized plan must equal the legacy
+    per-bit staircase bit-for-bit on the same draws (the plan machinery
+    is a strict generalization)."""
+    cfg = SimConfig(mod_type=2, quant_bits=4)
+    sigma = jnp.float32(0.335)
+    params_old = jax.jit(lambda s: pc._threshold_ints(cfg, s))(sigma)
+    params_new = jax.jit(lambda s: pc._plan_threshold_ints(cfg, s))(sigma)
+    assert params_new.shape[0] == 1                     # nmag == 1
+
+    ix = jnp.asarray(rng.integers(-2**31, 2**31, (16, 512), np.int64)
+                     .astype(np.int32))
+    bit = jnp.asarray(rng.integers(0, 2, (16, 512)).astype(np.int32))
+    mask = -bit
+
+    llr_old, err_old = pc.staircase(ix, mask, params_old, 4)
+    rows = [[params_new[0, j] for j in range(params_new.shape[1])]]
+    qs, hards = pc.staircase_qam(ix, bit, [], rows, mod_type=2,
+                                 quant_bits=4, scale=cfg.scale)
+    np.testing.assert_array_equal(np.asarray(llr_old),
+                                  np.asarray(qs[0]).astype(np.int8))
+    np.testing.assert_array_equal(np.asarray(err_old),
+                                  np.asarray(hards[0]).astype(np.int8))
+
+
+@pytest.mark.parametrize("mod_type", [4, 6, 8])
+def test_qam_lane_layout_matches_rail_layout(mod_type, rng):
+    """The kernel's lane-roll gather (qam_lanes with jnp.roll standing in
+    for pltpu.roll) must equal the rail-reshape evaluation pathwise on
+    identical per-rail draws - full coverage of the roll/mask wiring
+    without hardware."""
+    cfg = SimConfig(mod_type=mod_type, quant_bits=4)
+    h = mod_type // 2
+    nmag = 2 ** (h - 1)
+    bt, nt = 8, 128 * (3 if mod_type == 6 else 1)
+    nsym = nt // mod_type
+    sigma = jnp.float32(0.4)
+    params = jax.jit(lambda s: pc._plan_threshold_ints(cfg, s))(sigma)
+    nparam = params.shape[1]
+    rows = [[params[m, j] for j in range(nparam)] for m in range(nmag)]
+
+    cw = rng.integers(0, 2, (bt, nt)).astype(np.int32)
+    ix_rail = rng.integers(-2**31, 2**31, (bt, nsym, 2),
+                           np.int64).astype(np.int32)
+    # Lane view: the rail draw lives at the rail-base (level-0) lanes;
+    # other lanes carry junk that the gather must ignore.
+    ix_lane = rng.integers(-2**31, 2**31, (bt, nt),
+                           np.int64).astype(np.int32)
+    ix_lane = ix_lane.reshape(bt, nsym, h, 2)
+    ix_lane[:, :, 0, :] = ix_rail
+    ix_lane = ix_lane.reshape(bt, nt)
+
+    def roll(x, d):
+        return jnp.roll(x, d, axis=1)
+
+    q_lane, err_lane = pc.qam_lanes(
+        jnp.asarray(cw), jnp.asarray(ix_lane), rows, mod_type=mod_type,
+        quant_bits=4, scale=cfg.scale, roll=roll)
+
+    # Rail view (the jnp backend's layout).
+    grp = jnp.asarray(cw.reshape(bt, nsym, h, 2))
+    qs, hards = pc.staircase_qam(
+        jnp.asarray(ix_rail), grp[:, :, 0, :],
+        [grp[:, :, i, :] for i in range(1, h)], rows,
+        mod_type=mod_type, quant_bits=4, scale=cfg.scale)
+    errs = [hards[0]] + [hards[i] ^ grp[:, :, i, :] for i in range(1, h)]
+    q_rail = np.stack([np.asarray(q) for q in qs], 2).reshape(bt, nt)
+    err_rail = np.stack([np.asarray(e) for e in errs], 2).reshape(bt, nt)
+
+    np.testing.assert_array_equal(np.asarray(q_lane), q_rail)
+    np.testing.assert_array_equal(np.asarray(err_lane), err_rail)
+
+
+def test_qam_joint_law_16qam(rng):
+    """JOINT law of one rail's (q0, q1) vs the float chain: the two LLRs
+    share a draw, so marginal agreement is not enough - a wrong shared-
+    draw wiring shifts the joint histogram even with perfect marginals."""
+    import math
+
+    from faid_tpu.ops import modem
+    cfg = SimConfig(mod_type=4, quant_bits=4)
+    sigma = 0.35
+    srail = sigma / math.sqrt(2.0)
+    M = 400_000
+    params = jax.jit(lambda s: pc._plan_threshold_ints(cfg, s))(
+        jnp.float32(sigma))
+    rows = [[params[m, j] for j in range(params.shape[1])]
+            for m in range(2)]
+
+    for sign_bit in (0, 1):
+        for mag_bit in (0, 1):
+            a = float(pc._MAGNITUDES[4][mag_bit])
+            s_amp = a if sign_bit else -a
+            # Float chain on explicit normal draws.
+            z = rng.normal(size=M)
+            y = np.float32(s_amp + srail * z)
+            l1 = modem._fold_sub(jnp.abs(jnp.asarray(y)),
+                                 modem._FOLD[4][0])
+            q0_f = np.asarray(fp.quantize_llr(jnp.asarray(y), cfg.scale, 4))
+            q1_f = np.asarray(fp.quantize_llr(l1, cfg.scale, 4))
+
+            # Quantile path on the SAME z mapped to grid words.
+            u = 0.5 * (1.0 + np.vectorize(math.erf)(z / math.sqrt(2.0)))
+            ix = np.clip(np.round(u * 2.0**32 - 2**31), -2**31,
+                         2**31 - 1).astype(np.int64).astype(np.int32)
+            sb = jnp.full((M,), sign_bit, jnp.int32)
+            mb = jnp.full((M,), mag_bit, jnp.int32)
+            qs, _ = pc.staircase_qam(jnp.asarray(ix), sb, [mb], rows,
+                                     mod_type=4, quant_bits=4,
+                                     scale=cfg.scale)
+            q0_g, q1_g = np.asarray(qs[0]), np.asarray(qs[1])
+
+            # Same-draw pathwise agreement (away from boundaries the map
+            # is deterministic; allow the boundary-ulp flips).
+            mism = ((q0_g != q0_f) | (q1_g != q1_f)).mean()
+            assert mism < 2e-4, (sign_bit, mag_bit, mism)
+
+
+def test_sim_step_fused_vs_xla_statistics_16qam(code):
+    """Full pipeline wiring for QAM incl. the interleave wrapper: fused
+    vs float channel at the statistics level (pre-decoder BER and mean
+    MP iterations), 16-QAM depth 2."""
+    import math
+
+    from faid_tpu.sim.pipeline import build_sim_step
+
+    base = dict(decode_method=DecodeMethod.FAID_DTBF, max_iteration=6,
+                mod_type=4, interleave_depth=2, batch_per_device=256,
+                fake_encode=True, seed=0)
+    cfg_x = SimConfig(**base, channel_backend="xla")
+    cfg_f = SimConfig(**base, channel_backend="fused")
+    sigma = jnp.float32(cfg_x.sigma_at(7.6))   # 16-QAM waterfall
+    sx = jax.jit(build_sim_step(code, cfg_x, backend="xla"))
+    sf = jax.jit(build_sim_step(code, cfg_f, backend="xla"))
+    ox = jax.device_get(sx(jax.random.key(11), sigma))
+    of = jax.device_get(sf(jax.random.key(11), sigma))
+
+    nbits = 256 * code.n_info
+    bx, bf_ = ox["mod_error_bits"] / nbits, of["mod_error_bits"] / nbits
+    pbar = (ox["mod_error_bits"] + of["mod_error_bits"]) / (2 * nbits)
+    se = math.sqrt(2 * pbar * (1 - pbar) / nbits)
+    assert abs(bx - bf_) < 6 * se, (bx, bf_, se)
+    ix_, if_ = ox["mp_iters"] / 256, of["mp_iters"] / 256
+    assert abs(ix_ - if_) < 0.3, (ix_, if_)
