@@ -155,7 +155,8 @@ def main(argv=None) -> int:
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     runner = MonteCarloRunner(cfg, checkpoint_path=out / "checkpoint.json",
-                              max_rounds_per_snr=args.max_rounds)
+                              max_rounds_per_snr=args.max_rounds,
+                              temp_txt_path=out / "Temp.txt")
 
     def progress(snr_db, c):
         if args.quiet:

@@ -128,8 +128,10 @@ class MonteCarloRunner:
 
     def __init__(self, cfg: SimConfig, code: QCCode | None = None,
                  mesh=None, checkpoint_path: str | Path | None = None,
-                 max_rounds_per_snr: int = 100000):
+                 max_rounds_per_snr: int = 100000,
+                 temp_txt_path: str | Path | None = None):
         self.cfg = cfg
+        self.temp_txt_path = Path(temp_txt_path) if temp_txt_path else None
         self.code = code if code is not None else load_code(cfg.file_name_key())
         self.mesh = mesh if mesh is not None else mesh_mod.make_mesh()
         self.rounds_per_sync = max(1, cfg.rounds_per_sync)
@@ -182,6 +184,33 @@ class MonteCarloRunner:
         tmp.replace(self.checkpoint_path)
 
     # -- core loop ----------------------------------------------------------
+    def _write_temp_txt(self, snr_db: float, c: dict):
+        """Live progress file, rewritten every sync - the reference
+        truncates and rewrites Temp.txt each round with the in-flight
+        SNR point's row plus its RNG-seed resume dump
+        (main.cpp:194-207).  Same columns incl. the assume-one-is-wrong
+        FER/BER floor; the seed C-array is replaced by our exact resume
+        state (jax.random keys are stateless, checkpoint.json restores
+        the point bit-exactly)."""
+        if not self.temp_txt_path:
+            return
+        n_info = self.code.n_info
+        tf = max(c["test_frames"], 1)
+        fer = max(c["error_frames"], 1) / tf
+        ber = max(c["error_bits"], 1) / (tf * n_info)
+        lines = [
+            f"{snr_db:>5g}\t{c['test_frames']:>20d}\t"
+            f"{c['error_frames']:>15d}\t{c['error_bits']:>20d}\t"
+            f"{fer:>20.6g}\t{ber:>20.6g}\t{c['lt3_frames']:>15d}\t\n",
+            f"resume: seed={self.cfg.seed} "
+            f"snr_idx={self._state['snr_idx']} "
+            f"round={self._state['round']} "
+            f"(exact resume via checkpoint.json; keys are stateless)\n",
+        ]
+        tmp = self.temp_txt_path.with_suffix(".tmp")
+        tmp.write_text("".join(lines))
+        tmp.replace(self.temp_txt_path)
+
     def _stop_satisfied(self, c: dict) -> bool:
         return (c["test_frames"] >= self.cfg.min_frames
                 and c["error_frames"] >= self.cfg.min_frame_errors)
@@ -226,6 +255,7 @@ class MonteCarloRunner:
             self._state["round"] = rnd
             if progress:
                 progress(snr_db, dict(c))
+            self._write_temp_txt(snr_db, c)
             if sync % 8 == 0:
                 self._save_checkpoint()
         seconds = time.monotonic() - t0

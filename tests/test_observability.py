@@ -69,6 +69,25 @@ def test_runner_forensics_and_itercount(tmp_path):
     assert n <= max(total_err_frames, 16)
 
 
+def test_temp_txt_live_progress(tmp_path):
+    """Temp.txt is rewritten per sync with the in-flight point's row
+    (reference main.cpp:194-207: columns + the assume-one-is-wrong
+    FER/BER floor) and the exact-resume state."""
+    code = toy_code()
+    cfg = cfg_at(snr_start=-3.0, snr_pass=1.0, snr_end=-2.5,
+                 min_frames=8)
+    r = MonteCarloRunner(cfg, code=code, max_rounds_per_snr=4,
+                         temp_txt_path=tmp_path / "Temp.txt")
+    r.run()
+    txt = (tmp_path / "Temp.txt").read_text()
+    row, resume = txt.splitlines()[:2]
+    cols = row.split("\t")
+    assert len(cols) >= 7
+    assert int(cols[1]) == r.results[-1].counters["test_frames"]
+    assert float(cols[4]) > 0          # FER floor: never 0
+    assert "resume: seed=" in resume and "checkpoint.json" in resume
+
+
 def test_errorfloat_dump(tmp_path):
     """collect_error_frames must also dump the pre-quantizer float LLRs
     (the reference's errorfloat.txt, CLDPC.cpp:4877-4991)."""
