@@ -34,7 +34,9 @@ def main():
                          "~26 ms per-dispatch tunnel overhead, exactly as "
                          "the reference amortizes with 50 rounds per "
                          "pthread dispatch; see docs/ROOFLINE.md)")
-    ap.add_argument("--calls", type=int, default=3)
+    ap.add_argument("--calls", type=int, default=8,
+                    help="pipelined loop dispatches (all queued "
+                         "asynchronously, one device_get at the end)")
     ap.add_argument("--snr", type=float, default=4.0)
     ap.add_argument("--method", type=int, default=2)
     ap.add_argument("--backend", type=str, default="auto")
@@ -79,11 +81,21 @@ def main():
     # "Measurement methodology").
     jax.device_get(loop(key, sigma, jnp.int32(0)))  # compile+warm
 
+    # Pipeline the dispatches: every call gets a distinct round offset
+    # (distinct inputs -> the tunnel cannot memoize), all are queued
+    # asynchronously, and ONE device_get at the end forces every result.
+    # The ~26 ms per-dispatch tunnel round trip then overlaps the
+    # previous call's on-device compute instead of serializing with it -
+    # the same amortization the reference gets from issuing 50 rounds
+    # per pthread dispatch (CSimulate.cpp:117).  Honesty is preserved:
+    # each call's counters are a data-dependent fori_loop reduction and
+    # device_get of all of them cannot return before they are computed.
     t0 = time.perf_counter()
-    for c in range(args.calls):
-        out = jax.device_get(loop(key, sigma,
-                                  jnp.int32((c + 1) * args.rounds)))
+    outs = [loop(key, sigma, jnp.int32((c + 1) * args.rounds))
+            for c in range(args.calls)]
+    outs = jax.device_get(outs)
     dt = time.perf_counter() - t0
+    out = jax.tree.map(lambda *xs: sum(xs), *outs)  # counters over all calls
 
     frames = args.batch * args.rounds * args.calls
     mbit_s = frames * code.n_info / dt / 1e6

@@ -470,6 +470,67 @@ def _kernel(params_ref, cw_ref, llr_ref, err_ref, *, quant_bits, nparam):
     err_ref[:] = err
 
 
+def mod_stats_tile(err, j, *, n_info, mod_type, nt, roll):
+    """Per-tile ModCalErr reduction: int8/int32 error indicator
+    [BT, nt] of column tile ``j`` -> ([BT, 1] info-bit error count,
+    [BT, 1] info-symbol error count).
+
+    Pure so tests can evaluate it with jnp.roll on CPU
+    (tests/test_pallas_channel.py ties the tile sweep to
+    reduce_mod_stats); the kernel injects pltpu.roll.  Symbol =
+    mod_type consecutive info bits (reference ModSER denominator,
+    main.cpp:184); n_info and nt are even, so QPSK pairs never straddle
+    a tile and pair bases are the even lanes (the wrap read at lane
+    nt-1 lands on an odd lane and is masked)."""
+    err32 = err.astype(jnp.int32)
+    col = (jax.lax.broadcasted_iota(jnp.int32, err32.shape, 1)
+           + j * jnp.int32(nt))
+    info = (col < n_info).astype(jnp.int32)
+    errs = err32 * info
+    bit_count = errs.sum(axis=1, keepdims=True)
+    if mod_type == 2:
+        pair = errs | roll(errs, nt - 1)           # pair[p] = e[p]|e[p+1]
+        even = ((col & 1) == 0).astype(jnp.int32)
+        sym_count = (pair * even).sum(axis=1, keepdims=True)
+    else:
+        sym_count = bit_count                      # BPSK: symbol == bit
+    return bit_count, sym_count
+
+
+def _kernel_stats(params_ref, cw_ref, llr_ref, bits_ref, syms_ref, *,
+                  quant_bits, nparam, n_info, mod_type, nt):
+    """Same draw + staircase as _kernel (bit-identical llr stream), but
+    the ModCalErr indicator is reduced to per-frame info-bit and
+    info-symbol error COUNTS in VMEM instead of writing a [batch, n]
+    error map that the XLA side would re-read and reduce (that
+    round-trip measured 1.45 ms/round at batch 2048 - docs/ROOFLINE.md).
+    The [BT, 1] count blocks are revisited across the minor (column)
+    grid axis: initialized at j == 0, accumulated after."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(1)
+    pid = pl.program_id(0) * pl.num_programs(1) + j
+    pltpu.prng_seed(params_ref[nparam],
+                    params_ref[nparam + 1] + pid * jnp.int32(_KNUTH))
+    ix = pltpu.bitcast(pltpu.prng_random_bits(llr_ref.shape), jnp.int32)
+    mask = -(cw_ref[:] != 0).astype(jnp.int32)
+    llr, err = staircase(ix, mask, params_ref, quant_bits)
+    llr_ref[:] = llr
+
+    bit_count, sym_count = mod_stats_tile(
+        err, j, n_info=n_info, mod_type=mod_type, nt=nt,
+        roll=lambda x, d: pltpu.roll(x, shift=d % nt, axis=1))
+
+    @pl.when(j == 0)
+    def _():
+        bits_ref[...] = jnp.zeros(bits_ref.shape, bits_ref.dtype)
+        syms_ref[...] = jnp.zeros(syms_ref.shape, syms_ref.dtype)
+
+    bits_ref[...] = bits_ref[...] + bit_count
+    syms_ref[...] = syms_ref[...] + sym_count
+
+
 def _key_seeds(key: jax.Array) -> jnp.ndarray:
     kd = jax.random.key_data(key).reshape(-1)[:2]
     return jax.lax.bitcast_convert_type(kd, jnp.int32)
@@ -621,6 +682,94 @@ def _build_fused_channel_qam(code: QCCode, cfg,
                 modem.deinterleave(err_il, depth))
 
     return channel
+
+
+def reduce_mod_stats(mod_err_map: jax.Array, n_info: int,
+                     mod_type: int) -> tuple[jax.Array, jax.Array]:
+    """ModCalErr map [batch, n] -> per-frame (info-bit errors [batch],
+    info-symbol errors [batch]) int32; the XLA-side equivalent of
+    _kernel_stats' in-VMEM reduction (reference ModSER/ModBER
+    denominators, main.cpp:183-188)."""
+    batch = mod_err_map.shape[0]
+    mod_err = mod_err_map[:, :n_info].astype(jnp.bool_)
+    bits = mod_err.sum(axis=1).astype(jnp.int32)
+    pad = (-n_info) % mod_type
+    mod_err_p = jnp.pad(mod_err, ((0, 0), (0, pad)))
+    sym_err = mod_err_p.reshape(
+        batch, (n_info + pad) // mod_type, mod_type).any(axis=2)
+    return bits, sym_err.sum(axis=1).astype(jnp.int32)
+
+
+def build_fused_channel_stats(code: QCCode, cfg,
+                              interpret: bool = False) -> Callable:
+    """Like build_fused_channel but returns channel(cw, key, sigma) ->
+    (llr int8[batch, n], mod_error_bits int32[batch],
+    mod_error_symbols int32[batch]) - the pre-decoder ModCalErr stats
+    already reduced per frame.
+
+    On TPU for BPSK/QPSK the reduction happens in VMEM inside the same
+    kernel (identical PRNG stream -> bit-identical llr to
+    build_fused_channel; tests/test_pallas_channel.py ties the two
+    pathwise).  Other configurations (QAM, the portable jnp backend)
+    fall back to reducing the error map."""
+    if not supports(code, cfg):
+        raise ValueError("fused channel unsupported for this config "
+                         "(mod 1/2/4/6/8 + 2..5-bit quantizer only)")
+    kernel_path = (cfg.mod_type in (1, 2)
+                   and (interpret
+                        or jax.devices()[0].platform == "tpu"))
+    if not kernel_path:
+        base = build_fused_channel(code, cfg, interpret)
+        n_info, mod = code.n_info, cfg.mod_type
+
+        def channel_reduce(cw, key, sigma):
+            llr, err_map = base(cw, key, sigma)
+            bits, syms = reduce_mod_stats(err_map, n_info, mod)
+            return llr, bits, syms
+
+        return channel_reduce
+
+    if interpret and (_pick_nt(code.n_var, cfg.mod_type) is None
+                      or cfg.batch_per_device % _BT):
+        raise ValueError("kernel tiling needs batch % 64 == 0 and a "
+                         "lane/symbol-multiple divisor of n_var")
+    n = code.n_var
+    nt = _pick_nt(n)
+    batch = cfg.batch_per_device
+    quant_bits = cfg.quant_bits
+    lo, hi = _QUANT_LIMITS[quant_bits]
+    nparam = 2 * max(hi, -lo) + 1
+
+    def channel_tpu(cw, key, sigma):
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        params = jnp.concatenate([_threshold_ints(cfg, sigma),
+                                  _key_seeds(key)])
+        kern = functools.partial(_kernel_stats, quant_bits=quant_bits,
+                                 nparam=nparam, n_info=code.n_info,
+                                 mod_type=cfg.mod_type, nt=nt)
+        try:
+            vma = (jax.typeof(params).vma | jax.typeof(cw).vma) or None
+        except Exception:
+            vma = None
+        vkw = {"vma": vma} if vma else {}
+        llr, bits, syms = pl.pallas_call(
+            kern,
+            out_shape=(jax.ShapeDtypeStruct((batch, n), jnp.int8, **vkw),
+                       jax.ShapeDtypeStruct((batch, 1), jnp.int32, **vkw),
+                       jax.ShapeDtypeStruct((batch, 1), jnp.int32, **vkw)),
+            grid=(batch // _BT, n // nt),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec((_BT, nt), lambda i, j: (i, j))],
+            out_specs=(pl.BlockSpec((_BT, nt), lambda i, j: (i, j)),
+                       pl.BlockSpec((_BT, 1), lambda i, j: (i, 0)),
+                       pl.BlockSpec((_BT, 1), lambda i, j: (i, 0))),
+            interpret=interpret,
+        )(params, cw)
+        return llr, bits.reshape(batch), syms.reshape(batch)
+
+    return channel_tpu
 
 
 def build_fused_channel(code: QCCode, cfg, interpret: bool = False) -> Callable:

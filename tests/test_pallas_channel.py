@@ -185,6 +185,60 @@ def test_sim_step_fused_vs_xla_statistics(code):
     assert abs(ix_ - if_) < 0.2, (ix_, if_)
 
 
+@pytest.mark.parametrize("mod_type", [1, 2])
+def test_mod_stats_tile_sweep_matches_reduce(code, mod_type, rng):
+    """The in-kernel per-tile ModCalErr reduction (mod_stats_tile,
+    summed over the column-tile sweep exactly as _kernel_stats
+    accumulates it) must equal reduce_mod_stats of the full error map -
+    including the info/parity boundary inside a tile and the QPSK pair
+    wrap at tile edges.  Random maps; jnp.roll injected for the lane
+    roll (the kernel uses pltpu.roll with the same out[p] = x[p-d]
+    semantics, pinned by test_qam_lane_layout_matches_rail_layout)."""
+    n, n_info = code.n_var, code.n_info
+    nt = pc._pick_nt(n)
+    batch = 16
+    err_map = (rng.random((batch, n)) < 0.07).astype(np.int8)
+    bits = jnp.zeros((batch, 1), jnp.int32)
+    syms = jnp.zeros((batch, 1), jnp.int32)
+    for j in range(n // nt):
+        b, s = pc.mod_stats_tile(
+            jnp.asarray(err_map[:, j * nt:(j + 1) * nt]), jnp.int32(j),
+            n_info=n_info, mod_type=mod_type, nt=nt,
+            roll=lambda x, d: jnp.roll(x, d, axis=1))
+        bits, syms = bits + b, syms + s
+    rb, rs = pc.reduce_mod_stats(jnp.asarray(err_map), n_info, mod_type)
+    np.testing.assert_array_equal(np.asarray(bits)[:, 0], np.asarray(rb))
+    np.testing.assert_array_equal(np.asarray(syms)[:, 0], np.asarray(rs))
+    assert int(np.asarray(bits).sum()) > 0
+
+
+@pytest.mark.parametrize("mod_type", [1, 2])
+def test_stats_kernel_matches_map_kernel(code, mod_type):
+    """Wiring of _kernel_stats vs the error-map kernel through the
+    Mosaic-TPU interpreter (the hlo interpreter cannot emulate
+    pltpu.prng_seed): identical (stubbed) PRNG draws -> identical llr,
+    and the accumulated [B] counters equal reduce_mod_stats of the
+    map.  The PRNG stub is key-insensitive on CPU, so the random STREAM
+    is pinned on hardware instead (scripts/channel_parity.py); this
+    test pins the grid accumulation + reshape plumbing."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = SimConfig(mod_type=mod_type, quant_bits=4, batch_per_device=64,
+                    seed=0)
+    interp = pltpu.InterpretParams()
+    ch_map = pc.build_fused_channel(code, cfg, interpret=interp)
+    ch_st = pc.build_fused_channel_stats(code, cfg, interpret=interp)
+    k_cw, key = jax.random.split(jax.random.key(5))
+    cw = jax.random.bernoulli(k_cw, 0.5, (64, code.n_var)).astype(jnp.int8)
+    sigma = jnp.float32(cfg.sigma_at(3.4))
+    llr_m, err_map = jax.jit(ch_map)(cw, key, sigma)
+    llr_s, bits, syms = jax.jit(ch_st)(cw, key, sigma)
+    np.testing.assert_array_equal(np.asarray(llr_m), np.asarray(llr_s))
+    rb, rs = pc.reduce_mod_stats(err_map, code.n_info, mod_type)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(rb))
+    np.testing.assert_array_equal(np.asarray(syms), np.asarray(rs))
+
+
 def test_supports_gates(code):
     assert pc.supports(code, SimConfig(mod_type=2, quant_bits=4))
     assert pc.supports(code, SimConfig(mod_type=1, quant_bits=4))
