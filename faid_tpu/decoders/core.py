@@ -243,6 +243,66 @@ def _build_pallas_decoder(code: QCCode, dcfg: DecoderConfig,
     return decode
 
 
+def build_stats_decoder(code: QCCode, dcfg: DecoderConfig,
+                        backend: str = "auto", interpret: bool = False,
+                        pallas_bt: int = 32):
+    """Counter-producing decoder for the Monte-Carlo hot path.
+
+    Returns decode_stats(llr[batch, n_var] int8, ref_bits=None) ->
+    dict(err_bits[batch] int32, mp_iters[batch], bf_rounds[batch]),
+    where ``ref_bits`` is the expected info word [batch, n_info]
+    (bool/int8) or None for the all-zero codeword (FakeEncoder).
+
+    On the pallas backend the per-frame info-bit error reduction
+    (CalculateErrors' core, reference CLDPC.cpp:4819-4995) is fused into
+    the decode kernel itself, so the [batch, n_var] hard decisions never
+    reach HBM (ops/pallas_decoder.make_stats_decoder).  Anywhere else it
+    composes build_decoder with an XLA reduction - identical counters
+    (tied by tests/test_stats_fused.py)."""
+    from ..ops import pallas_decoder as pk
+
+    fallback = "xla"
+    if backend == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        backend = ("pallas" if on_tpu and pk.supports_stats(code, dcfg)
+                   else "xla")
+        fallback = "auto"   # e.g. pallas hard path when stats unsupported
+    if backend == "pallas":
+        if not pk.supports_stats(code, dcfg):
+            raise ValueError(
+                f"stats-fused pallas kernel does not support this "
+                f"config/code: {dcfg}")
+        ci = code.n_info // code.z
+
+        def decode_stats(llr: jnp.ndarray, ref_bits=None):
+            blocks = ingest_llrs(llr, code)
+            ref_blocks = None
+            if ref_bits is not None:
+                ref_blocks = ref_bits.astype(jnp.int8).reshape(
+                    llr.shape[0], ci, code.z)
+            err, it, bfr = pk.decode_stats_pallas(
+                blocks, code, dcfg, ref_blocks, bt=pallas_bt,
+                interpret=interpret)
+            return {"err_bits": err, "mp_iters": it, "bf_rounds": bfr}
+
+        return decode_stats
+
+    dec = build_decoder(code, dcfg, backend=fallback, interpret=interpret,
+                        pallas_bt=pallas_bt)
+    n_info = code.n_info
+
+    def decode_stats(llr: jnp.ndarray, ref_bits=None):
+        out = dec(llr)
+        hard = out["hard"][:, :n_info]
+        err = (hard if ref_bits is None
+               else jnp.logical_xor(hard, ref_bits.astype(jnp.bool_)))
+        return {"err_bits": err.sum(axis=1).astype(jnp.int32),
+                "mp_iters": out["mp_iters"],
+                "bf_rounds": out["bf_rounds"]}
+
+    return decode_stats
+
+
 @functools.lru_cache(maxsize=16)
 def cached_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla"):
     return build_decoder(code, dcfg, backend=backend)

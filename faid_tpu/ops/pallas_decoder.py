@@ -94,13 +94,60 @@ def _clip8(x):
     return jnp.clip(x, -128, 127)
 
 
+def _msg_bound(dcfg: DecoderConfig) -> int | None:
+    """Conservative bound M on |stored message| for this config, or None
+    when no bound <= 48 can be proven.
+
+    Used to elide the int8 pack-saturation clips (+-127/-128) from the
+    hot loop: with en in [-31, 31] (enforced every pass-2 write) and
+    |msg| <= M <= 48, both ``en - msg`` (pass 1) and ``vc + msg``
+    (pass 2, |vc| <= 31 + M) stay inside [-127, 127], so the
+    reference's adds/subs_epi8 saturation can never fire and clipping
+    is a provable no-op - bit-exactness is preserved while removing 4
+    vector ops per edge.  Every published configuration proves M = 7
+    (cste is clamped to <= SAT_POS_MSG and its lower side is >= -2);
+    adversarial factors/LUTs fall back to the clipped path."""
+    style = _style_for(dcfg)
+    if style == "nms":
+        # (min * f) >> 5 >= 0 for f >= 0, then min(. , 7).
+        return 7 if (dcfg.factor_1 >= 0 and dcfg.factor_2 >= 0) else None
+    if style == "oms" and dcfg.oms_mode == 1:
+        # selective offsets move min by at most +-2; clamped to <= 7.
+        return 7
+    off = dcfg.oms_offset
+    if style == "oms":
+        lo = min(7, -off)              # min(min - off, 7), min >= 0
+    else:
+        lut = np.asarray(luts.table_for(dcfg.lut_family, dcfg.max_iter))
+        lut_ef = np.asarray(luts.ef_table(dcfg.max_iter))
+        lmin = int(min(lut.min(),
+                       lut_ef.min() if dcfg.ef_elimination >= 1
+                       else lut.min()))
+        lo = min(7, min(lmin, 31) - off)
+    m = max(7, abs(lo))
+    return m if m <= 48 else None
+
+
 def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
-                 fuse_bf: bool = False):
+                 fuse_bf: bool = False, fuse_stats: bool = False,
+                 fake_ref: bool = False, chan: tuple | None = None):
+    """Build the fused kernel body.
+
+    chan = (mod_type, quant_bits) fuses the quantile-sampling channel
+    (ops/pallas_channel.py) into the PROLOGUE: the kernel draws the
+    hardware-PRNG words, evaluates the staircase into the int32 working
+    state directly, and reduces the pre-decoder ModCalErr stats - one
+    kernel then runs channel -> decode -> error reduction per batch
+    tile, and nothing but per-frame counters ever reaches HBM."""
     style = _style_for(dcfg)
     f1, f2 = dcfg.factor_1, dcfg.factor_2
     off = dcfg.oms_offset
     max_iter = dcfg.max_iter
     stop_early = dcfg.stop_early
+    # Pack-saturation elision (see _msg_bound): identical bits, 4 fewer
+    # vector ops per edge whenever the config proves the int8 saturation
+    # unreachable.
+    sat8 = _clip8 if _msg_bound(dcfg) is None else (lambda x: x)
     # Group mode: the reference's early-stop granularity is the whole
     # 32-frame SIMD word, which is exactly this kernel's bt=32 batch
     # tile.  Per-frame freezing (the `active` selects in row_update and
@@ -127,14 +174,26 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
         for c, sh in edges[r]:
             col_edges.setdefault(c, []).append((r, sh))
 
-    def syndrome_row(en_ref, r):
-        """[BT, Z] bool: CN r unsatisfied, from sign(en) > 0.
-        en_ref holds int32 (the VMEM-resident working state)."""
-        acc = None
-        for c, s in edges[r]:
-            h = _roll(en_ref[c], -s) > 0
-            acc = h if acc is None else jnp.logical_xor(acc, h)
-        return acc
+    used_cols = sorted({c for r in range(n_rows) for c, _ in edges[r]})
+
+    def syndrome_sweep(hs):
+        """Per-row unsat indicators + total unsat-CN count per frame.
+
+        ``hs[c]`` is the 0/1 int32 hard decision of block column c,
+        computed ONCE per sweep (69 compares) instead of per edge
+        (70400) - the per-edge work drops to roll + xor.  Returns
+        (unsat list of [BT, Z] int32 0/1, count [BT, 1] int32); the
+        count accumulates across rows in the vector domain with a
+        single cross-lane reduction at the end."""
+        unsat, total = [], None
+        for r in range(n_rows):
+            acc = None
+            for c, s in edges[r]:
+                h = _roll(hs[c], -s)
+                acc = h if acc is None else acc ^ h
+            unsat.append(acc)
+            total = acc if total is None else total + acc
+        return unsat, total.sum(axis=1, keepdims=True)
 
     def lut_pack(lut_ref, it):
         """Pack LUT row `it` (8 int8-range entries) into two int32
@@ -168,7 +227,7 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
         vns, vcs = [], []
         for e, (c, s) in enumerate(edges[r]):
             vn = _roll(en_ref[c], -s)
-            vc = jnp.maximum(_clip8(vn - msgs_ref[lo + e].astype(jnp.int32)),
+            vc = jnp.maximum(sat8(vn - msgs_ref[lo + e].astype(jnp.int32)),
                              SAT_NEG_VAR)
             vns.append(vn)
             vcs.append(vc)
@@ -186,7 +245,7 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
                         new_vcs.append(vcs[e])
                         continue
                     votes_col = functools.reduce(jnp.add, [
-                        _roll(unsat_rows[rp].astype(jnp.int32), sp)
+                        _roll(unsat_rows[rp], sp)
                         for rp, sp in col_edges[c]])
                     vote_al = _roll(votes_col, -s)
                     era_al = _roll(era_ref[c].astype(jnp.int32), -s)
@@ -213,7 +272,7 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
             if use_ef:
                 # Per-CN LUT swap: select the packed row once per block
                 # row (2 selects), not per edge.
-                eff = l_checksum & l_m_err & in_floor
+                eff = (l_checksum != 0) & l_m_err & in_floor
                 word_lo = jnp.where(eff, lo_e, lo_m)
                 word_hi = jnp.where(eff, hi_e, hi_m)
             else:
@@ -235,13 +294,13 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
 
         # ---- offsets / normalization ----------------------------------
         if style == "nms":
-            cste_1 = jnp.minimum(_clip8((min2 * f2) >> 5), SAT_POS_MSG)
-            cste_2 = jnp.minimum(_clip8((min1 * f1) >> 5), SAT_POS_MSG)
+            cste_1 = jnp.minimum(sat8((min2 * f2) >> 5), SAT_POS_MSG)
+            cste_2 = jnp.minimum(sat8((min1 * f1) >> 5), SAT_POS_MSG)
         elif style == "faid" or not selective:
             cste_1 = jnp.minimum(min2 - off, SAT_POS_MSG)
             cste_2 = jnp.minimum(min1 - off, SAT_POS_MSG)
         else:
-            eff = l_checksum & l_m_err & in_floor
+            eff = (l_checksum != 0) & l_m_err & in_floor
 
             def offsel(m):
                 up = m + (m < f2)
@@ -261,7 +320,7 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
                                   jnp.bool_(odd))
             new_msg = jnp.where(neg, -vres, vres)
             en_new = jnp.minimum(
-                jnp.maximum(_clip8(vcs[e] + new_msg), SAT_NEG_VAR),
+                jnp.maximum(sat8(vcs[e] + new_msg), SAT_NEG_VAR),
                 SAT_POS_VAR)
             if active is None:
                 # group mode: the whole tile updates while any frame in
@@ -280,13 +339,6 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
     c_blocks = code.n_var // z
     eligible_cols = [c for c in range(c_blocks)
                      if len(col_edges.get(c, ())) == b.gamma]
-
-    def hard_syndrome(hard_ref, r):
-        acc = None
-        for c, sh in edges[r]:
-            h = _roll(hard_ref[c].astype(jnp.int32), -sh) > 0
-            acc = h if acc is None else jnp.logical_xor(acc, h)
-        return acc
 
     def col_votes(unsat32, c):
         return functools.reduce(jnp.add, [
@@ -313,10 +365,8 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
         def body(carry):
             i, Th, l0, l1, t32, rounds, go = carry
             t = t32 != 0   # Mosaic: no i1-vector while carries
-            unsat32 = [hard_syndrome(hard, r).astype(jnp.int32)
-                       for r in range(n_rows)]
-            count = functools.reduce(jnp.add, [
-                u.sum(axis=1, keepdims=True) for u in unsat32])
+            unsat32, count = syndrome_sweep(
+                {c: hard[c].astype(jnp.int32) for c in used_cols})
             if group:
                 # reference semantics: only the break is global - every
                 # lane keeps flipping (and its threshold machine keeps
@@ -399,17 +449,37 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
         out = jax.lax.while_loop(cond, body, carry)
         return out[5]
 
+    n_info_blocks = code.n_info // z
+    fuse_channel = chan is not None
+
     def kernel(*args):
-        # Argument layout: [lut, lut_ef]? , llr, <outputs>, <scratches>.
-        # Outputs: fused -> (hard_out, iters_out, bf_out); else
-        # (en_out, iters_out).  Scratches: msgs, en32, era?, hard?,
-        # hard_ch?, hard2? in that order (see make_*_decoder).
+        # Argument layout: [lut, lut_ef]? , (chparams, cw?) | (llr, ref?),
+        # <outputs>, <scratches>.  Outputs: stats -> (err_out, iters_out
+        # [, bf_out][, modbits_out, modsyms_out]); fused ->
+        # (hard_out, iters_out, bf_out); else (en_out, iters_out).
+        # Scratches: msgs, en32, era?, hard?, hard_ch?, hard2? in that
+        # order (see make_*_decoder).
         args = list(args)
         lut_refs = None
         if style == "faid":
             lut_refs = (args.pop(0), args.pop(0))
-        llr_ref = args.pop(0)
-        if fuse_bf:
+        llr_ref = ch_ref = cw_ref = ref_ref = None
+        if fuse_channel:
+            ch_ref = args.pop(0)
+            if not fake_ref:
+                cw_ref = args.pop(0)
+        else:
+            llr_ref = args.pop(0)
+            if fuse_stats and not fake_ref:
+                ref_ref = args.pop(0)
+        if fuse_stats:
+            err_out = args.pop(0)
+            iters_out = args.pop(0)
+            bf_out = args.pop(0) if fuse_bf else None
+            if fuse_channel:
+                modbits_out = args.pop(0)
+                modsyms_out = args.pop(0)
+        elif fuse_bf:
             hard_out = args.pop(0)
             iters_out = args.pop(0)
             bf_out = args.pop(0)
@@ -430,18 +500,65 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
         # Working state lives in VMEM as int32 for the whole decode -
         # `en` is read three times per edge per iteration, and keeping it
         # widened avoids an int8<->int32 relayout at every access.
-        en32[...] = llr_ref[...].astype(jnp.int32)
+        if fuse_channel:
+            # Fused quantile channel prologue: one hardware-PRNG draw
+            # per bit, staircase-evaluated straight into the int32
+            # working state (LLR ingest incl. the punctured-tail zeroing,
+            # reference CLDPC.cpp:270-272) - column by column so the
+            # live staircase temporaries stay [BT, Z]-sized.  Draw order
+            # (seed, then blocks 0..C-1 of this batch tile) is the
+            # replayable stream contract shared with the emit kernel
+            # (build_fused_sim_emit).
+            from . import pallas_channel as pc
+
+            mod_type, quant_bits = chan
+            nparam = 2 * max(abs(v) for v in
+                             pc._QUANT_LIMITS[quant_bits]) + 1
+            pid = pl.program_id(0)
+            pltpu.prng_seed(ch_ref[nparam],
+                            ch_ref[nparam + 1] + pid * jnp.int32(pc._KNUTH))
+            tail_start = code.n_var - code.puncture_tail
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bt, z), 1)
+            even = ((lane & 1) == 0).astype(jnp.int32)
+            mb = jnp.zeros((bt, 1), jnp.int32)
+            ms = jnp.zeros((bt, 1), jnp.int32)
+            for c in range(c_blocks):
+                ix = pltpu.bitcast(pltpu.prng_random_bits((bt, z)),
+                                   jnp.int32)
+                if cw_ref is None:
+                    mask = jnp.zeros((bt, z), jnp.int32)
+                else:
+                    mask = -(cw_ref[c] != 0).astype(jnp.int32)
+                q8, cherr = pc.staircase(ix, mask, ch_ref, quant_bits)
+                qe = q8.astype(jnp.int32)
+                if c * z >= tail_start:
+                    qe = jnp.zeros((bt, z), jnp.int32)
+                elif (c + 1) * z > tail_start:
+                    qe = jnp.where(lane + c * z >= tail_start, 0, qe)
+                en32[c] = qe
+                if c < n_info_blocks:
+                    e = cherr.astype(jnp.int32)
+                    mb = mb + e.sum(axis=1, keepdims=True)
+                    if mod_type == 2:
+                        # symbol = adjacent (even, odd) lane pair; the
+                        # wrap read at lane Z-1 lands on an odd lane and
+                        # is masked (cf. pallas_channel.mod_stats_tile).
+                        nxt = pltpu.roll(e, shift=z - 1, axis=1)
+                        ms = ms + ((e | nxt) * even).sum(
+                            axis=1, keepdims=True)
+            modbits_out[...] = mb
+            modsyms_out[...] = mb if mod_type != 2 else ms
+        else:
+            en32[...] = llr_ref[...].astype(jnp.int32)
         msgs_ref[...] = jnp.zeros(msgs_ref.shape, msgs_ref.dtype)
         iters_out[...] = jnp.zeros(iters_out.shape, iters_out.dtype)
 
         def iteration_body(it):
             """One MP iteration; returns True while any frame is dirty."""
             if stop_early:
-                unsat_rows = [syndrome_row(en32, r) for r in range(n_rows)]
-                count = functools.reduce(
-                    jnp.add,
-                    [u.astype(jnp.int32).sum(axis=1, keepdims=True)
-                     for u in unsat_rows])                  # [BT, 1]
+                unsat_rows, count = syndrome_sweep(
+                    {c: (en32[c] > 0).astype(jnp.int32)
+                     for c in used_cols})                   # [BT, 1]
                 any_active = jnp.any(count > 0)
                 # group mode: no per-frame freeze - pl.when(any_active)
                 # is the reference's whole-SIMD-word break.
@@ -493,6 +610,23 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
                               lambda it, _: (iteration_body(it), 0)[1], 0)
         if fuse_bf:
             bf_out[...] = bf_tail(en32, hard_scr, hard_ch_scr, hard2_scr)
+        if fuse_stats:
+            # Per-frame info-bit error count (CalculateErrors' core
+            # reduction, reference CLDPC.cpp:4819-4995) computed in VMEM:
+            # the hard decisions never reach HBM.  Info bits are exactly
+            # the first n_info/Z block columns (14592 = 57*256); the
+            # expected word is all-zero (FakeEncoder) or the ref input.
+            err = None
+            for c in range(n_info_blocks):
+                h = (hard_scr[c].astype(jnp.int32) if fuse_bf
+                     else (en32[c] > 0).astype(jnp.int32))
+                if ref_ref is not None:
+                    h = h ^ ref_ref[c].astype(jnp.int32)
+                elif cw_ref is not None:
+                    h = h ^ cw_ref[c].astype(jnp.int32)
+                err = h if err is None else err + h
+            err_out[...] = err.sum(axis=1, keepdims=True)
+        elif fuse_bf:
             for c in range(c_blocks):
                 hard_out[c] = hard_scr[c]
         else:
@@ -649,6 +783,321 @@ def make_full_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
         return hard, iters.reshape(b), bf.reshape(b)
 
     return full
+
+
+def supports_stats(code: QCCode, dcfg: DecoderConfig) -> bool:
+    """Gate for the stats-fused kernel: additionally requires the info
+    bits to tile exactly into block columns (50G-PON: 14592 = 57*256),
+    so the in-VMEM error reduction can sum whole [BT, Z] tiles."""
+    return supports(dcfg) and code.n_info % code.z == 0
+
+
+@functools.lru_cache(maxsize=32)
+def make_stats_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
+                       interpret: bool = False, fake_ref: bool = True):
+    """Decoder with the per-frame error reduction fused into the SAME
+    kernel: MP iterations (+ BF when configured) + info-bit error count,
+    all without the hard decisions ever reaching HBM.
+
+    Returns stats(llr_cbz [C, B, Z] int8[, ref_cbz [Ci, B, Z] int8]) ->
+    (err_bits [B, 1] int32, mp_iters [B, 1] int32,
+     bf_rounds [B, 1] int32 | None).  ``ref_cbz`` (only when
+    ``fake_ref=False``) holds the expected hard bits of the first
+    n_info/Z block columns; with ``fake_ref=True`` the expected word is
+    all-zero (reference FakeEncoder, CLDPC.cpp:163)."""
+    if not supports_stats(code, dcfg):
+        raise ValueError("config not supported by the stats-fused kernel")
+    if dcfg.stop_mode == "group" and bt != 32:
+        raise ValueError(
+            f"group mode requires bt == 32 (the reference SIMD word); "
+            f"got bt={bt}")
+    style = _style_for(dcfg)
+    c_blocks = code.n_block_cols
+    z = code.z
+    n_entries = int(code.degrees_np.sum())
+    n_info_blocks = code.n_info // z
+    use_ef2 = style == "faid" and dcfg.ef_elimination == 2
+    fuse_bf = dcfg.bf.kind != "none"
+    two_bit = dcfg.bf.kind == "dtbf2b1c"
+    kernel = _make_kernel(code, dcfg, bt, fuse_bf=fuse_bf,
+                          fuse_stats=True, fake_ref=fake_ref)
+
+    lut_args = ()
+    num_lut = 0
+    if style == "faid":
+        lut = np.asarray(
+            luts.table_for(dcfg.lut_family, dcfg.max_iter), np.int32)
+        lut_ef = np.asarray(luts.ef_table(dcfg.max_iter), np.int32)
+        lut_args = (lut, lut_ef)
+        num_lut = 2
+
+    scratch = [pltpu.VMEM((n_entries, bt, z), jnp.int8),
+               pltpu.VMEM((c_blocks, bt, z), jnp.int32)]
+    if use_ef2:
+        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
+    if fuse_bf:
+        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard
+        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard_ch
+        if two_bit:
+            scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
+
+    def stats(llr_cbz: jax.Array, ref_cbz: jax.Array | None = None):
+        b = llr_cbz.shape[1]
+        assert b % bt == 0, (b, bt)
+        assert (ref_cbz is None) == fake_ref
+        try:
+            vma = jax.typeof(llr_cbz).vma or None
+        except Exception:
+            vma = None
+        vkw = {"vma": vma} if vma else {}
+        in_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * num_lut
+            + [pl.BlockSpec((c_blocks, bt, z), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)]
+            + ([pl.BlockSpec((n_info_blocks, bt, z), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)]
+               if not fake_ref else []))
+        n_out = 3 if fuse_bf else 2
+        out = pl.pallas_call(
+            kernel,
+            grid=(b // bt,),
+            in_specs=in_specs,
+            out_specs=tuple(
+                pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(n_out)),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((b, 1), jnp.int32, **vkw)
+                for _ in range(n_out)),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*lut_args, llr_cbz,
+          *(() if fake_ref else (ref_cbz,)))
+        if fuse_bf:
+            return out
+        return out[0], out[1], None
+
+    return stats
+
+
+def supports_sim(code: QCCode, cfg) -> bool:
+    """Gate for the fully-fused sim kernel (channel + decode + stats in
+    ONE pallas_call): quantile channel coverage (BPSK/QPSK, truncating
+    quantizer - the interleave pair is transparent at one bit per LLR)
+    on top of the stats-fused decode requirements."""
+    dcfg = cfg.decoder()
+    return (supports_stats(code, dcfg)
+            and dcfg.bf.kind != "none"
+            and cfg.mod_type in (1, 2)
+            and cfg.quant_bits in (2, 3, 4, 5)
+            and cfg.batch_per_device % 32 == 0)
+
+
+@functools.lru_cache(maxsize=16)
+def build_fused_sim(code: QCCode, cfg, interpret: bool = False):
+    """One kernel per Monte-Carlo round: hardware-PRNG noise draw ->
+    quantile-staircase channel -> LLR ingest -> MP decode -> BF
+    post-processor -> error + ModCalErr reduction, entirely in VMEM.
+    The only HBM traffic is the codeword input (absent with
+    fake_encode) and five [batch] counter vectors out.
+
+    Returns sim(cw [batch, n_var] int8 | None, key, sigma) ->
+    dict(err_bits, mp_iters, bf_rounds, mod_error_bits,
+    mod_error_symbols), each int32 [batch].
+
+    The PRNG stream is a pure function of (key, batch-tile index) with
+    the same seeding scheme as ops/pallas_channel.py; the emit variant
+    (build_fused_sim_emit) replays the identical stream for forensics."""
+    from . import pallas_channel as pc
+
+    if not supports_sim(code, cfg):
+        raise ValueError("config not supported by the fused sim kernel")
+    if interpret is True:
+        # The HLO interpreter cannot emulate pltpu.prng_seed; route
+        # interpret runs through the Mosaic-TPU interpreter instead
+        # (same convention as tests/test_pallas_channel.py).
+        interpret = pltpu.InterpretParams()
+    dcfg = cfg.decoder()
+    bt = 32     # == the group-mode SIMD word; grid tiles are [C, 32, Z]
+    style = _style_for(dcfg)
+    c_blocks = code.n_block_cols
+    z = code.z
+    n_entries = int(code.degrees_np.sum())
+    use_ef2 = style == "faid" and dcfg.ef_elimination == 2
+    two_bit = dcfg.bf.kind == "dtbf2b1c"
+    fake = bool(cfg.fake_encode)
+    kernel = _make_kernel(code, dcfg, bt, fuse_bf=True, fuse_stats=True,
+                          fake_ref=fake,
+                          chan=(cfg.mod_type, cfg.quant_bits))
+
+    lut_args = ()
+    num_lut = 0
+    if style == "faid":
+        lut = np.asarray(
+            luts.table_for(dcfg.lut_family, dcfg.max_iter), np.int32)
+        lut_ef = np.asarray(luts.ef_table(dcfg.max_iter), np.int32)
+        lut_args = (lut, lut_ef)
+        num_lut = 2
+
+    scratch = [pltpu.VMEM((n_entries, bt, z), jnp.int8),
+               pltpu.VMEM((c_blocks, bt, z), jnp.int32)]
+    if use_ef2:
+        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
+    scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard
+    scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard_ch
+    if two_bit:
+        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
+
+    batch = cfg.batch_per_device
+
+    def sim(cw, key, sigma):
+        assert (cw is None) == fake
+        params = jnp.concatenate([pc._threshold_ints(cfg, sigma),
+                                  pc._key_seeds(key)])
+        cw_args = ()
+        if not fake:
+            cw_cbz = jnp.transpose(
+                cw.reshape(batch, c_blocks, z), (1, 0, 2))
+            cw_args = (cw_cbz,)
+        try:
+            vma = jax.typeof(params).vma or None
+            if not fake:
+                vma = (vma or frozenset()) | jax.typeof(cw_args[0]).vma
+                vma = vma or None
+        except Exception:
+            vma = None
+        vkw = {"vma": vma} if vma else {}
+        in_specs = (
+            [pl.BlockSpec(memory_space=pltpu.SMEM)] * num_lut
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + ([pl.BlockSpec((c_blocks, bt, z), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)] if not fake else []))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(batch // bt,),
+            in_specs=in_specs,
+            out_specs=tuple(
+                pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM) for _ in range(5)),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((batch, 1), jnp.int32, **vkw)
+                for _ in range(5)),
+            scratch_shapes=scratch,
+            # The channel prologue's staircase temporaries push the
+            # scoped-VMEM stack just past the 16 MB default (16.16 MB
+            # measured on the 50G-PON code); the persistent scratches
+            # above stay ~5.7 MB, so 24 MB of the 128 MB VMEM is safe.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=24 * 1024 * 1024),
+            interpret=interpret,
+        )(*lut_args, params, *cw_args)
+        err, iters, bf, modbits, modsyms = (o.reshape(batch) for o in outs)
+        return {"err_bits": err, "mp_iters": iters, "bf_rounds": bf,
+                "mod_error_bits": modbits, "mod_error_symbols": modsyms}
+
+    return sim
+
+
+@functools.lru_cache(maxsize=16)
+def build_fused_sim_emit(code: QCCode, cfg, interpret: bool = False):
+    """Forensic/validation twin of build_fused_sim: SAME PRNG stream,
+    same staircase, but emits the channel outputs instead of decoding -
+    emit(cw | None, key, sigma) -> (llr int8 [batch, n_var] pre-ingest,
+    mod_err int8 [batch, n_var]).  decode(ingest(llr)) of this output is
+    bit-identical to what build_fused_sim decoded (tied by
+    tests/test_sim_fused.py), which is what makes exact replay of failing
+    frames possible without instrumenting the hot path."""
+    from . import pallas_channel as pc
+
+    if not supports_sim(code, cfg):
+        raise ValueError("config not supported by the fused sim kernel")
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
+    bt = 32
+    c_blocks = code.n_block_cols
+    z = code.z
+    fake = bool(cfg.fake_encode)
+    quant_bits = cfg.quant_bits
+    nparam = 2 * max(abs(v) for v in pc._QUANT_LIMITS[quant_bits]) + 1
+    batch = cfg.batch_per_device
+
+    def ekernel(*args):
+        args = list(args)
+        ch_ref = args.pop(0)
+        cw_ref = None if fake else args.pop(0)
+        llr_out = args.pop(0)
+        err_out = args.pop(0)
+        pid = pl.program_id(0)
+        pltpu.prng_seed(ch_ref[nparam],
+                        ch_ref[nparam + 1] + pid * jnp.int32(pc._KNUTH))
+        for c in range(c_blocks):
+            ix = pltpu.bitcast(pltpu.prng_random_bits((bt, z)), jnp.int32)
+            if cw_ref is None:
+                mask = jnp.zeros((bt, z), jnp.int32)
+            else:
+                mask = -(cw_ref[c] != 0).astype(jnp.int32)
+            q8, cherr = pc.staircase(ix, mask, ch_ref, quant_bits)
+            llr_out[c] = q8
+            err_out[c] = cherr
+
+    def emit(cw, key, sigma):
+        assert (cw is None) == fake
+        params = jnp.concatenate([pc._threshold_ints(cfg, sigma),
+                                  pc._key_seeds(key)])
+        cw_args = ()
+        if not fake:
+            cw_cbz = jnp.transpose(
+                cw.reshape(batch, c_blocks, z), (1, 0, 2))
+            cw_args = (cw_cbz,)
+        try:
+            vma = jax.typeof(params).vma or None
+        except Exception:
+            vma = None
+        vkw = {"vma": vma} if vma else {}
+        llr, err = pl.pallas_call(
+            ekernel,
+            grid=(batch // bt,),
+            in_specs=(
+                [pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + ([pl.BlockSpec((c_blocks, bt, z), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)]
+                   if not fake else [])),
+            out_specs=(
+                pl.BlockSpec((c_blocks, bt, z), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c_blocks, bt, z), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((c_blocks, batch, z), jnp.int8, **vkw),
+                jax.ShapeDtypeStruct((c_blocks, batch, z), jnp.int8, **vkw),
+            ),
+            interpret=interpret,
+        )(params, *cw_args)
+        to_bn = lambda x: jnp.transpose(x, (1, 0, 2)).reshape(
+            batch, c_blocks * z)
+        return to_bn(llr), to_bn(err)
+
+    return emit
+
+
+def decode_stats_pallas(llr_blocks: jax.Array, code: QCCode,
+                        dcfg: DecoderConfig,
+                        ref_blocks: jax.Array | None = None,
+                        bt: int = 32, interpret: bool = False):
+    """llr_blocks [B, C, Z] int8 (ingested), ref_blocks [B, Ci, Z] int8
+    expected info bits or None (all-zero codeword) ->
+    (err_bits [B] int32, mp_iters [B], bf_rounds [B])."""
+    stats = make_stats_decoder(code, dcfg, bt=bt, interpret=interpret,
+                               fake_ref=ref_blocks is None)
+    args = (jnp.transpose(llr_blocks, (1, 0, 2)),)
+    if ref_blocks is not None:
+        args += (jnp.transpose(ref_blocks, (1, 0, 2)),)
+    err, iters, bf = stats(*args)
+    b = llr_blocks.shape[0]
+    if bf is None:
+        bf = err * 0      # derives err's varying-axes type (utils/vma.py)
+    return err.reshape(b), iters.reshape(b), bf.reshape(b)
 
 
 def decode_full_pallas(llr_blocks: jax.Array, code: QCCode,

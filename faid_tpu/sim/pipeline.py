@@ -26,9 +26,18 @@ import jax.numpy as jnp
 from ..code.encoder import make_encode_fn
 from ..code.qc_matrix import QCCode
 from ..config import SimConfig
-from ..decoders.core import build_decoder
+from ..decoders.core import build_decoder, build_stats_decoder
 from ..ops import channel, modem, pallas_channel
 from ..ops import fixed_point as fp
+
+
+def _histogram(x: jnp.ndarray, length: int) -> jnp.ndarray:
+    """bincount(clip(x, 0, length-1), length) via a compare matrix - a
+    [batch, length] broadcast-compare + column sum instead of
+    jnp.bincount's serial scatter-add path on TPU."""
+    edges = jnp.arange(length, dtype=x.dtype)
+    return (jnp.clip(x, 0, length - 1)[:, None]
+            == edges[None, :]).sum(axis=0).astype(jnp.int32)
 
 
 def _resolve_fused_channel(code: QCCode, cfg: SimConfig,
@@ -55,20 +64,41 @@ def _resolve_fused_channel(code: QCCode, cfg: SimConfig,
     return None
 
 
+def _resolve_fused_sim(code: QCCode, cfg: SimConfig, backend: str,
+                       interpret: bool):
+    """The fully-fused sim kernel (channel + decode + stats in ONE
+    pallas_call, ops/pallas_decoder.build_fused_sim) when the config is
+    inside its coverage; None otherwise (the step then composes the
+    channel kernel with the stats decoder)."""
+    if cfg.channel_backend != "fused" or backend not in ("auto", "pallas"):
+        return None
+    from ..ops import pallas_decoder as pk
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if (on_tpu or interpret) and pk.supports_sim(code, cfg):
+        return pk.build_fused_sim(code, cfg, interpret=interpret)
+    return None
+
+
 def build_sim_step(code: QCCode, cfg: SimConfig,
-                   backend: str = "auto") -> Callable:
+                   backend: str = "auto",
+                   interpret: bool = False) -> Callable:
     """Returns step(key, sigma) -> dict of int32 scalar counters.
 
     ``key`` is a jax PRNG key; ``sigma`` is the traced noise std-dev so one
     compiled executable serves the whole SNR sweep.
     """
     dcfg = cfg.decoder()
-    decoder = build_decoder(code, dcfg, backend=backend)
-    encode = None if cfg.fake_encode else make_encode_fn(code)
     batch = cfg.batch_per_device
     n_info = code.n_info
     mod = cfg.mod_type
-    fused_channel = _resolve_fused_channel(code, cfg, stats=True)
+    fused_sim = _resolve_fused_sim(code, cfg, backend, interpret)
+    decoder = fused_channel = None
+    if fused_sim is None:
+        decoder = build_stats_decoder(code, dcfg, backend=backend,
+                                      interpret=interpret)
+        fused_channel = _resolve_fused_channel(code, cfg, stats=True)
+    encode = None if cfg.fake_encode else make_encode_fn(code)
 
     def step(key: jax.Array, sigma: jax.Array) -> dict:
         k_msg, k_noise = jax.random.split(key)
@@ -82,6 +112,15 @@ def build_sim_step(code: QCCode, cfg: SimConfig,
             cw = encode(u.astype(jnp.int8))
 
         ref_bits = cw[:, :n_info].astype(jnp.bool_)
+
+        if fused_sim is not None:
+            # One kernel per round: PRNG -> staircase channel -> decode
+            # -> error/ModCalErr reduction, all in VMEM; only [batch]
+            # counter vectors reach HBM.
+            out = fused_sim(None if cfg.fake_encode else cw,
+                            k_noise, sigma)
+            return _counters(out["err_bits"], out["mod_error_bits"],
+                             out["mod_error_symbols"], out)
 
         if fused_channel is not None:
             # Fused quantile channel (ops/pallas_channel.py): one kernel
@@ -120,20 +159,21 @@ def build_sim_step(code: QCCode, cfg: SimConfig,
                 pallas_channel.reduce_mod_stats(mod_err, n_info, mod))
 
         # --- RX -----------------------------------------------------------
-        out = decoder(llr)
+        # The stats decoder reduces the info-bit errors per frame inside
+        # the decode kernel on the pallas path (hard bits never reach
+        # HBM); with fake_encode the expected word is all-zero.
+        out = decoder(llr, None if cfg.fake_encode else ref_bits)
+        return _counters(out["err_bits"], mod_error_bits,
+                         mod_error_symbols, out)
 
-        hard_info = out["hard"][:, :n_info]
-        err = jnp.logical_xor(hard_info, ref_bits)
-        err_bits = err.sum(axis=1).astype(jnp.int32)
+    def _counters(err_bits, mod_error_bits, mod_error_symbols, out):
         frame_err = err_bits > 0
 
         # Iteration histograms (the reference appends the remaining-BF-iter
         # histogram to iterCount.txt, CSimulate.cpp:171-179).
         bf_cap = max(dcfg.bf.max_iter, 1)
-        mp_hist = jnp.bincount(jnp.clip(out["mp_iters"], 0, dcfg.max_iter),
-                               length=dcfg.max_iter + 1).astype(jnp.int32)
-        bf_hist = jnp.bincount(jnp.clip(out["bf_rounds"], 0, bf_cap),
-                               length=bf_cap + 1).astype(jnp.int32)
+        mp_hist = _histogram(out["mp_iters"], dcfg.max_iter + 1)
+        bf_hist = _histogram(out["bf_rounds"], bf_cap + 1)
 
         return {
             "test_frames": jnp.int32(batch),
@@ -170,7 +210,16 @@ def build_debug_step(code: QCCode, cfg: SimConfig,
     batch = cfg.batch_per_device
     n_info = code.n_info
     mod = cfg.mod_type
-    fused_channel = _resolve_fused_channel(code, cfg)
+    # Replay must reproduce the production stream: when the fully-fused
+    # sim kernel ran the round, its emit twin (same PRNG stream contract)
+    # regenerates the identical LLRs; otherwise the standalone channel.
+    fused_sim_emit = None
+    if _resolve_fused_sim(code, cfg, backend, interpret=False) is not None:
+        from ..ops import pallas_decoder as _pk
+
+        fused_sim_emit = _pk.build_fused_sim_emit(code, cfg)
+    fused_channel = (None if fused_sim_emit is not None
+                     else _resolve_fused_channel(code, cfg))
 
     def debug(key: jax.Array, sigma: jax.Array) -> dict:
         k_msg, k_noise = jax.random.split(key)
@@ -179,7 +228,11 @@ def build_debug_step(code: QCCode, cfg: SimConfig,
         else:
             u = jax.random.bernoulli(k_msg, 0.5, (batch, n_info))
             cw = encode(u.astype(jnp.int8))
-        if fused_channel is not None:
+        if fused_sim_emit is not None:
+            llr, _ = fused_sim_emit(None if cfg.fake_encode else cw,
+                                    k_noise, sigma)
+            soft = llr.astype(jnp.float32) / jnp.float32(cfg.scale)
+        elif fused_channel is not None:
             # Exact replay of the fused-channel run (same platform).  No
             # float LLR exists in that pipeline; the errorfloat.txt
             # column records the dequantized value llr/scale instead.

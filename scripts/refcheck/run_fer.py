@@ -25,11 +25,13 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import pathlib
 import subprocess
 import sys
 import tempfile
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 REPO = pathlib.Path(__file__).resolve().parents[2]
 BUILD = REPO / ".refbuild"
@@ -79,6 +81,12 @@ POINTS = (
         (2, 1, 6, 3.8, 2, 1, 13.0, "faid32"),
         (2, 1, 6, 3.8, 2, 1, 14.0, "faid2"),
         (2, 1, 6, 4.0, 2, 1, 14.0, "faid2"),
+        # Floor-entrance anchors (round 4): FER ~1e-6 - the regime where
+        # the paper's error-floor story lives and where the DTBF
+        # post-processor dominates the outcome.  ~5M reference frames
+        # per row (chunks fan out over all cores).
+        (2, 1, 6, 3.9, 2, 1, 13.0, "faid3"),
+        (4, 1, 6, 3.9, 2, 1, 13.0, "faid3"),
     ]
 )
 
@@ -91,24 +99,37 @@ def sigma_at(snr_db: float, mod_type: int = 2) -> float:
 
 def run_point(wd, method, f1, f2, snr, min_errors, max_rounds, seed,
               mod_type=2, depth=1, scale=13.0, lut="faid3", chunk=500):
+    """One anchor point.  Harness invocations are single-threaded (the
+    reference's pthread fan-out lives in main.cpp, which the harness
+    bypasses), so chunks with distinct seeds fan out over every core -
+    the same shared-nothing per-seed decomposition the reference's
+    thread model uses (main.cpp:31-34)."""
     write_profile(wd, method, f1, f2)
     harness = BUILD / HARNESS_FOR_LUT[lut]
     sigma = sigma_at(snr, mod_type)
     frames = errors = bits = lt3 = 0
     t0 = time.monotonic()
     rounds_done = 0
-    while (errors < min_errors and rounds_done < max_rounds):
+    workers = max(1, os.cpu_count() or 1)
+
+    def one_chunk(offset):
         r = subprocess.run(
             [str(harness), "fer", str(method), "6",
              f"{sigma:.9f}", f"{scale:g}", str(chunk),
-             str(seed + rounds_done), str(mod_type), str(depth)],
+             str(seed + offset), str(mod_type), str(depth)],
             cwd=wd, check=True, capture_output=True, text=True)
-        out = json.loads(r.stdout)
-        frames += out["test_frames"]
-        errors += out["error_frames"]
-        bits += out["error_bits"]
-        lt3 += out["lt3_frames"]
-        rounds_done += chunk
+        return json.loads(r.stdout)
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        while (errors < min_errors and rounds_done < max_rounds):
+            offs = [rounds_done + k * chunk for k in range(workers)]
+            offs = [o for o in offs if o < max_rounds]
+            for out in pool.map(one_chunk, offs):
+                frames += out["test_frames"]
+                errors += out["error_frames"]
+                bits += out["error_bits"]
+                lt3 += out["lt3_frames"]
+            rounds_done = offs[-1] + chunk
     dt = time.monotonic() - t0
     return {
         "method": METHOD_NAMES[method], "snr_db": snr,

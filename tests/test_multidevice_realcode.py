@@ -122,3 +122,45 @@ def test_fused_channel_vma_under_shard_map():
     # 1-bits see mirrored grids, so identical constant bits cannot give
     # identical LLR columns).
     assert not np.array_equal(llr_s[:, ::2], llr_s[:, 1::2])
+
+
+def test_fused_sim_vma_under_shard_map():
+    """The fully-fused sim kernel (channel + decode + stats in one
+    pallas_call, ops/pallas_decoder.build_fused_sim) inside a
+    vma-checked shard_map via the Mosaic-TPU interpreter: per-device
+    counters must equal single-device calls with the same folded keys.
+    This is the production multi-chip path of bench.py/the CLI."""
+    from faid_tpu.ops import pallas_decoder as pk
+
+    tcode = toy_code()
+    cfg = SimConfig(decode_method=DecodeMethod.FAID_DTBF, mod_type=2,
+                    batch_per_device=32, fake_encode=True,
+                    channel_backend="fused", stop_mode="group",
+                    backend="pallas", seed=3)
+    sim = pk.build_fused_sim(tcode, cfg, interpret=True)
+    mesh = mesh_mod.make_mesh()
+    sigma = jnp.float32(cfg.sigma_at(3.6))
+    key = jax.random.key(cfg.seed)
+
+    def body(key, sigma):
+        key = jax.random.fold_in(key, jax.lax.axis_index("batch"))
+        out = sim(None, key, sigma)
+        return jax.tree.map(
+            lambda x: jax.lax.psum(x.sum(), "batch"), out)
+
+    shmap = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P()),
+        out_specs={k: P() for k in ("err_bits", "mp_iters", "bf_rounds",
+                                    "mod_error_bits",
+                                    "mod_error_symbols")}))
+    got = jax.device_get(shmap(key, sigma))
+
+    want = {k: 0 for k in got}
+    one = jax.jit(sim, static_argnums=0)
+    for d in range(mesh.size):
+        out = jax.device_get(
+            one(None, jax.random.fold_in(key, d), sigma))
+        for k in want:
+            want[k] += int(np.asarray(out[k]).sum())
+    for k in want:
+        assert int(got[k]) == want[k], (k, int(got[k]), want[k])
