@@ -121,8 +121,12 @@ def main():
     }))
     # Context for humans (stderr-style extras kept off the JSON line).
     import sys
+    from faid_tpu.sim.pipeline import _resolve_fused_sim
+    fused_sim = (_resolve_fused_sim(code, cfg, args.backend, False)
+                 is not None)
     print(f"# channel={args.channel} stop_mode={args.stop_mode} "
-          f"backend={args.backend} frames={frames} wall={dt:.2f}s "
+          f"backend={args.backend} fused_sim_kernel={fused_sim} "
+          f"frames={frames} wall={dt:.2f}s "
           f"fer={stats['error_frames']}"
           f"/{stats['test_frames']} avg_it="
           f"{stats['mp_iters']/max(stats['test_frames'],1):.2f}",

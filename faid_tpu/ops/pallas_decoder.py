@@ -49,6 +49,13 @@ from ..decoders import luts
 SAT_POS_VAR, SAT_NEG_VAR = 31, -31
 SAT_POS_MSG = 7
 
+# The hoisted syndrome sweep keeps the 69 per-column hard decisions live
+# across the edge walk, which pushes the compiler's scoped-VMEM stack
+# past its conservative 16 MB default at larger batch tiles (16.4 MB
+# measured at bt=128); the v5e has 128 MB of VMEM and the persistent
+# scratches stay well clear, so raise the stack limit uniformly.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
 
 def supports(dcfg: DecoderConfig) -> bool:
     """Real capability check for the fused kernel (the 'auto' backend
@@ -701,6 +708,7 @@ def make_mp_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
                 + ([pltpu.VMEM((c_blocks, bt, z), jnp.int8)]
                    if (style == "faid" and dcfg.ef_elimination == 2)
                    else [])),
+            compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(*lut_args, llr_cbz)
         return en, iters.reshape(b)
@@ -778,6 +786,7 @@ def make_full_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
                 jax.ShapeDtypeStruct((b, 1), jnp.int32, **vkw),
             ),
             scratch_shapes=scratch,
+            compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(*lut_args, llr_cbz)
         return hard, iters.reshape(b), bf.reshape(b)
@@ -870,6 +879,7 @@ def make_stats_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
                 jax.ShapeDtypeStruct((b, 1), jnp.int32, **vkw)
                 for _ in range(n_out)),
             scratch_shapes=scratch,
+            compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(*lut_args, llr_cbz,
           *(() if fake_ref else (ref_cbz,)))
@@ -887,7 +897,6 @@ def supports_sim(code: QCCode, cfg) -> bool:
     on top of the stats-fused decode requirements."""
     dcfg = cfg.decoder()
     return (supports_stats(code, dcfg)
-            and dcfg.bf.kind != "none"
             and cfg.mod_type in (1, 2)
             and cfg.quant_bits in (2, 3, 4, 5)
             and cfg.batch_per_device % 32 == 0)
@@ -925,8 +934,9 @@ def build_fused_sim(code: QCCode, cfg, interpret: bool = False):
     n_entries = int(code.degrees_np.sum())
     use_ef2 = style == "faid" and dcfg.ef_elimination == 2
     two_bit = dcfg.bf.kind == "dtbf2b1c"
+    fuse_bf = dcfg.bf.kind != "none"
     fake = bool(cfg.fake_encode)
-    kernel = _make_kernel(code, dcfg, bt, fuse_bf=True, fuse_stats=True,
+    kernel = _make_kernel(code, dcfg, bt, fuse_bf=fuse_bf, fuse_stats=True,
                           fake_ref=fake,
                           chan=(cfg.mod_type, cfg.quant_bits))
 
@@ -943,12 +953,14 @@ def build_fused_sim(code: QCCode, cfg, interpret: bool = False):
                pltpu.VMEM((c_blocks, bt, z), jnp.int32)]
     if use_ef2:
         scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
-    scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard
-    scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard_ch
-    if two_bit:
-        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
+    if fuse_bf:
+        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard
+        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard_ch
+        if two_bit:
+            scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
 
     batch = cfg.batch_per_device
+    n_out = (3 if fuse_bf else 2) + 2      # err, iters[, bf], mod x2
 
     def sim(cw, key, sigma):
         assert (cw is None) == fake
@@ -978,20 +990,21 @@ def build_fused_sim(code: QCCode, cfg, interpret: bool = False):
             in_specs=in_specs,
             out_specs=tuple(
                 pl.BlockSpec((bt, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM) for _ in range(5)),
+                             memory_space=pltpu.VMEM)
+                for _ in range(n_out)),
             out_shape=tuple(
                 jax.ShapeDtypeStruct((batch, 1), jnp.int32, **vkw)
-                for _ in range(5)),
+                for _ in range(n_out)),
             scratch_shapes=scratch,
-            # The channel prologue's staircase temporaries push the
-            # scoped-VMEM stack just past the 16 MB default (16.16 MB
-            # measured on the 50G-PON code); the persistent scratches
-            # above stay ~5.7 MB, so 24 MB of the 128 MB VMEM is safe.
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=24 * 1024 * 1024),
+            compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(*lut_args, params, *cw_args)
-        err, iters, bf, modbits, modsyms = (o.reshape(batch) for o in outs)
+        outs = [o.reshape(batch) for o in outs]
+        if fuse_bf:
+            err, iters, bf, modbits, modsyms = outs
+        else:
+            err, iters, modbits, modsyms = outs
+            bf = err * 0
         return {"err_bits": err, "mp_iters": iters, "bf_rounds": bf,
                 "mod_error_bits": modbits, "mod_error_symbols": modsyms}
 

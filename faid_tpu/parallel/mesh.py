@@ -36,17 +36,20 @@ def make_mesh(devices=None, axis: str = BATCH_AXIS) -> Mesh:
 
 
 def build_sharded_sim_step(code: QCCode, cfg: SimConfig, mesh: Mesh,
-                           backend: str | None = None) -> Callable:
+                           backend: str | None = None,
+                           interpret: bool = False) -> Callable:
     """Returns step(key, sigma) -> dict of replicated int32 scalar counters.
 
     ``cfg.batch_per_device`` frames run on EACH device; the global batch is
     ``batch_per_device * mesh.size``.  Implemented with ``shard_map`` so the
     per-device body is explicit: fold the device index into the key (the
     equivalent of the reference's per-thread seed table, CSimulate.cpp:11-17)
-    and ``psum`` the counters.
+    and ``psum`` the counters.  ``interpret=True`` routes the pallas paths
+    through the Mosaic interpreter (CPU validation of the kernel plumbing).
     """
     step = build_sim_step(code, cfg,
-                          backend=cfg.backend if backend is None else backend)
+                          backend=cfg.backend if backend is None else backend,
+                          interpret=interpret)
     axis = mesh.axis_names[0]
 
     def device_body(key: jax.Array, sigma: jax.Array) -> dict:

@@ -16,16 +16,13 @@ Separates the three levels the headline Mbit/s number mixes together:
    channel, quantizer, stats.
 
 The analytic op count per edge update is derived from the kernel source
-(ops on [bt, z] int32 vectors; one vector op = bt*z lane-ops):
-
-  pass 1 (per edge): roll + widen-sub + clip(2) + faid-clip     ~ 5
-  faid LUT (per edge): idx abs+min + packed shift/mask/sel      ~ 8
-  parity + min1/min2 recurrence (per edge): cmp+xor + min/max   ~ 5
-  pass 2 (per edge): min-sel(2) + sign-xor(2) + neg-sel + en
-    add/clip(3) + msg sel+cast(2) + en sel+roll(2)              ~ 12
-  syndrome sweep at iteration top (per edge): roll + cmp + xor  ~ 3
-  -------------------------------------------------------------------
-  total (FAID w/ early-stop sweep)                              ~ 33
+(ops on [bt, z] int32 vectors; one vector op = bt*z lane-ops).  Round 4
+removed the provably-dead int8 pack-saturation clips from pass 1/pass 2
+(ops/pallas_decoder._msg_bound) and hoisted the per-edge hard-decision
+compare of the syndrome sweeps to one compare per block column, so the
+itemized model (_CROSS_MODEL below) drops from r3's 36.2 to ~32.2
+ops/edge for the fixed-iteration FAID kernel, plus ~2.6/edge for the
+early-stop sweep (roll + xor per edge, cmp+widen amortized per column).
 
 Peak VPU lane-op rate (v5e, one TensorCore): 8 sublanes x 128 lanes x
 4 ALUs x ~0.94 GHz ~= 3.85e12 lane-ops/s.  Utilization = measured
@@ -55,7 +52,11 @@ def hashn(s: str) -> int:
     return sum(s.encode()) & 0xFF
 
 
-OPS_PER_EDGE = 33          # see module docstring
+# Early-stop syndrome sweep, per edge: roll + xor, plus the per-column
+# hard-decision cmp+widen amortized over the column degree (~12 edges
+# per column: 2*69/275) and the count accumulation (11 adds + 1 lane
+# reduction per sweep, amortized ~0.05).
+OPS_PER_EDGE_SWEEP = 2.6
 VPU_PEAK_LANE_OPS = 8 * 128 * 4 * 0.94e9   # v5e TensorCore VPU
 
 # Per-style op model for the --cross-check mode: the same hand count as
@@ -68,21 +69,24 @@ VPU_PEAK_LANE_OPS = 8 * 128 * 4 * 0.94e9   # v5e TensorCore VPU
 # the model's ratios, the hand count is consistent at the level of
 # those differences, which bounds the +-30% systematic doubt on the
 # utilization claim far tighter than one absolute number can.
-#   shared: pass1 roll+sub+widen+clip8(2)+satmax          = 6
+#   shared: pass1 roll+sub+widen+satmax                    = 4
 #           parity xor                                     = 1
 #           min1/min2 recurrence min+max+min               = 3
-#           pass2 eq+sel+signxor(2)+neg+sel+en add/clip8(2)
-#                 /sat(2)+cast+roll                        = 13
+#           pass2 eq+sel+signxor(2)+neg+sel+en add
+#                 /sat(2)+cast+roll                        = 11
 #   per-style extras (per edge):
 #           nms : mag abs(1)                  + negs cmp(1)      = 2
 #           oms : mag abs+clip(2)             + negs cmp(1)      = 3
 #           faid: satmin(1) + lut chain(9)    + backtrack(3)     = 13
 #   per-row (amortized over mean degree 22.67):
-#           nms : 2x(mul+clip8(2)+min) = 8    oms/faid: 2x(sub+min) = 4
+#           nms : 2x(mul+min) = 4             oms/faid: 2x(sub+min) = 4
+#   (the int8 pack-saturation clips of r3's model - 2 in pass 1, 2 in
+#    pass 2, 4 in the NMS normalize - are elided as provably dead,
+#    ops/pallas_decoder._msg_bound)
 _CROSS_MODEL = {
-    "nms": 6 + 1 + 3 + 13 + 2 + 8 / 22.67,
-    "oms": 6 + 1 + 3 + 13 + 3 + 4 / 22.67,
-    "faid": 6 + 1 + 3 + 13 + 13 + 4 / 22.67,
+    "nms": 4 + 1 + 3 + 11 + 2 + 4 / 22.67,
+    "oms": 4 + 1 + 3 + 11 + 3 + 4 / 22.67,
+    "faid": 4 + 1 + 3 + 11 + 13 + 4 / 22.67,
 }
 
 
@@ -123,7 +127,7 @@ def main():
     results = {"device": str(dev), "batch": args.batch, "bt": args.bt,
                "snr_db": args.snr, "max_iter": args.max_iter,
                "n_edges": n_edges, "z": z,
-               "ops_per_edge_est": OPS_PER_EDGE,
+               "ops_per_edge_est": _CROSS_MODEL["faid"] + OPS_PER_EDGE_SWEEP,
                "vpu_peak_lane_ops": VPU_PEAK_LANE_OPS}
     # Timing methodology (calibrated by scripts/timing_audit.py):
     #   * the axon tunnel memoizes identical (executable, input)
@@ -200,8 +204,8 @@ def main():
                                       pallas_bt=args.bt))
     dt, ovh, raw = timed(dec_fixed, perturb=True, seed=11)
     iters = args.batch * args.max_iter
-    # no early stop -> no syndrome sweep: 30 of the 33 ops/edge
-    lane_ops = iters * n_edges * (OPS_PER_EDGE - 3) * z
+    # no early stop -> no syndrome sweep: the fixed-kernel FAID model
+    lane_ops = iters * n_edges * _CROSS_MODEL["faid"] * z
     results["fixed"] = {
         "per_decode_s": dt,
         "dispatch_overhead_s": ovh,

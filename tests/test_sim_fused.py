@@ -24,11 +24,17 @@ def sim_cfg(fake=True, mod=2, method=DecodeMethod.FAID_DTBF, batch=64):
                      backend="pallas", seed=7)
 
 
-@pytest.mark.parametrize("fake", [True, False])
-@pytest.mark.parametrize("mod", [1, 2])
-def test_fused_sim_ties_to_emit_plus_stats_decoder(rng, fake, mod):
+@pytest.mark.parametrize("fake,mod,method", [
+    (True, 2, DecodeMethod.FAID_DTBF),
+    (False, 2, DecodeMethod.FAID_DTBF),
+    (True, 1, DecodeMethod.FAID_DTBF),
+    (False, 1, DecodeMethod.FAID_DTBF),
+    (True, 2, DecodeMethod.OMS),        # bf kind none: en>0 stats path
+    (True, 2, DecodeMethod.OMS_DTBF),
+])
+def test_fused_sim_ties_to_emit_plus_stats_decoder(rng, fake, mod, method):
     code = toy_code()
-    cfg = sim_cfg(fake=fake, mod=mod)
+    cfg = sim_cfg(fake=fake, mod=mod, method=method)
     assert pk.supports_sim(code, cfg)
     sim = pk.build_fused_sim(code, cfg, interpret=True)
     emit = pk.build_fused_sim_emit(code, cfg, interpret=True)
@@ -123,9 +129,9 @@ def test_debug_step_replays_fused_sim_stream(monkeypatch):
 def test_supports_sim_gates():
     code = toy_code()
     assert pk.supports_sim(code, sim_cfg())
+    assert pk.supports_sim(          # bf kind none: en>0 stats epilogue
+        code, dataclasses.replace(sim_cfg(), decode_method=DecodeMethod.OMS))
     assert not pk.supports_sim(
         code, dataclasses.replace(sim_cfg(), mod_type=4))
     assert not pk.supports_sim(
         code, dataclasses.replace(sim_cfg(), batch_per_device=48))
-    assert not pk.supports_sim(       # bf kind none
-        code, dataclasses.replace(sim_cfg(), decode_method=DecodeMethod.OMS))
