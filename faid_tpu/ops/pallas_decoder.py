@@ -165,6 +165,17 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
     selective = style == "oms" and dcfg.oms_mode == 1
     use_ef = style == "faid" and dcfg.ef_elimination >= 1
     use_ef2 = style == "faid" and dcfg.ef_elimination == 2
+    # All published LUT families map into [0, 7], so the 8-entry row
+    # packs into ONE int32 at 4 bits/entry and the per-edge lookup is
+    # (word >> (idx << 2)) & 0xF - no hi/lo word select, no sign
+    # extension (5 ops instead of 9).  Out-of-range tables (negative or
+    # > 15 entries) keep the two-word byte-packed path.
+    lut4 = False
+    if style == "faid":
+        _lut = np.asarray(luts.table_for(dcfg.lut_family, dcfg.max_iter))
+        _lef = np.asarray(luts.ef_table(dcfg.max_iter))
+        lut4 = bool((_lut >= 0).all() and (_lut <= 15).all()
+                    and (_lef >= 0).all() and (_lef <= 15).all())
     z = code.z
     n_rows = code.n_block_rows
     entry_offsets = np.concatenate([[0], np.cumsum(code.degrees_np)])
@@ -203,9 +214,14 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
         return unsat, total.sum(axis=1, keepdims=True)
 
     def lut_pack(lut_ref, it):
-        """Pack LUT row `it` (8 int8-range entries) into two int32
-        scalars, 4 bytes each.  Scalar SMEM work, done once per
-        iteration outside the edge loop."""
+        """Pack LUT row `it` into int32 scalars: one nibble-packed word
+        (lut4: 8 entries x 4 bits) or two byte-packed words.  Scalar
+        SMEM work, done once per iteration outside the edge loop."""
+        if lut4:
+            w = jnp.int32(0)
+            for k in range(8):
+                w = w | ((lut_ref[it, k] & 0xF) << (4 * k))
+            return (w,)
         lo = jnp.int32(0)
         hi = jnp.int32(0)
         for k in range(4):
@@ -214,10 +230,14 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
         return lo, hi
 
     def lut_mag_packed(packed, idx):
-        """row[idx] for idx in [0, 7] via variable byte shifts of the
-        packed row - ~8 VPU ops/edge instead of the 15-op compare+select
-        chain (the TPU analogue of the reference's 8 masked selects,
-        CDecoder_FAID.cpp:710-781)."""
+        """row[idx] for idx in [0, 7] via variable shifts of the packed
+        row (the TPU analogue of the reference's 8 masked selects,
+        CDecoder_FAID.cpp:710-781).  Nibble path: shift + mask only
+        (entries are unsigned < 16); byte path: hi/lo select +
+        sign-extend."""
+        if lut4:
+            (w,) = packed
+            return jax.lax.shift_right_logical(w, idx << 2) & 0xF
         lo, hi = packed
         sh = (idx & 3) << 3
         word = jnp.where(idx < 4, lo, hi)
@@ -275,19 +295,20 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
             parity = jnp.logical_xor(parity, negs[e])
 
         if style == "faid":
-            lo_m, hi_m, lo_e, hi_e = lut_packed
+            n_words = len(lut_packed) // 2
+            pk_m, pk_e = lut_packed[:n_words], lut_packed[n_words:]
             if use_ef:
                 # Per-CN LUT swap: select the packed row once per block
-                # row (2 selects), not per edge.
+                # row, not per edge.
                 eff = (l_checksum != 0) & l_m_err & in_floor
-                word_lo = jnp.where(eff, lo_e, lo_m)
-                word_hi = jnp.where(eff, hi_e, hi_m)
+                pk = tuple(jnp.where(eff, we, wm)
+                           for wm, we in zip(pk_m, pk_e))
             else:
-                word_lo, word_hi = lo_m, hi_m
+                pk = pk_m
             mags = []
             for e in range(deg):
                 idx = jnp.minimum(jnp.abs(vcs[e]), 7)
-                mags.append(lut_mag_packed((word_lo, word_hi), idx))
+                mags.append(lut_mag_packed(pk, idx))
         elif style == "oms":
             mags = [jnp.minimum(jnp.abs(v), SAT_POS_MSG) for v in vcs]
         else:

@@ -77,16 +77,18 @@ VPU_PEAK_LANE_OPS = 8 * 128 * 4 * 0.94e9   # v5e TensorCore VPU
 #   per-style extras (per edge):
 #           nms : mag abs(1)                  + negs cmp(1)      = 2
 #           oms : mag abs+clip(2)             + negs cmp(1)      = 3
-#           faid: satmin(1) + lut chain(9)    + backtrack(3)     = 13
+#           faid: satmin(1) + nibble lut(5)   + backtrack(3)     = 9
 #   per-row (amortized over mean degree 22.67):
 #           nms : 2x(mul+min) = 4             oms/faid: 2x(sub+min) = 4
-#   (the int8 pack-saturation clips of r3's model - 2 in pass 1, 2 in
-#    pass 2, 4 in the NMS normalize - are elided as provably dead,
-#    ops/pallas_decoder._msg_bound)
+#   (r4 model changes: the int8 pack-saturation clips - 2 in pass 1,
+#    2 in pass 2, 4 in the NMS normalize - are elided as provably dead,
+#    ops/pallas_decoder._msg_bound; the FAID LUT row packs into ONE
+#    nibble-packed int32, so the lookup is abs+min+shl+shr+and = 5 ops
+#    instead of the 9-op two-word byte chain)
 _CROSS_MODEL = {
     "nms": 4 + 1 + 3 + 11 + 2 + 4 / 22.67,
     "oms": 4 + 1 + 3 + 11 + 3 + 4 / 22.67,
-    "faid": 4 + 1 + 3 + 11 + 13 + 4 / 22.67,
+    "faid": 4 + 1 + 3 + 11 + 9 + 4 / 22.67,
 }
 
 
