@@ -101,6 +101,37 @@ def _clip8(x):
     return jnp.clip(x, -128, 127)
 
 
+def _scratch_shapes(code: QCCode, dcfg: DecoderConfig, bt: int,
+                    fuse_bf: bool):
+    """Scratch list shared by every decoder factory; the kernel pops
+    them in this order: msgs, en32, era?, hard?, hard_ch?, hard2?,
+    alive?, (Th, l0, l1, t, rounds, bf_go)?."""
+    style = _style_for(dcfg)
+    z = code.z
+    c_blocks = code.n_block_cols
+    n_entries = int(code.degrees_np.sum())
+    s = [pltpu.VMEM((n_entries, bt, z), jnp.int8),
+         pltpu.VMEM((c_blocks, bt, z), jnp.int32)]
+    if style == "faid" and dcfg.ef_elimination == 2:
+        s.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
+    if fuse_bf:
+        s.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))   # hard
+        s.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))   # hard_ch
+        if dcfg.bf.kind == "dtbf2b1c":
+            s.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
+    if dcfg.stop_early:
+        s.append(pltpu.SMEM((1,), jnp.int32))               # alive flag
+    if fuse_bf:
+        # DTBF machine state + round counter + go flag: scratch refs
+        # (not loop carries) so the BF rounds run as a scalar-gated
+        # fori instead of a while_loop - a dynamic trip count
+        # serializes Mosaic's kernel pipeline (measured 1.75 ms for a
+        # BF tail that executes ~1 round at 4.0 dB).
+        s += [pltpu.VMEM((bt, 1), jnp.int32) for _ in range(5)]
+        s.append(pltpu.SMEM((1,), jnp.int32))               # bf go flag
+    return s
+
+
 def _msg_bound(dcfg: DecoderConfig) -> int | None:
     """Conservative bound M on |stored message| for this config, or None
     when no bound <= 48 can be proven.
@@ -372,11 +403,16 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
         return functools.reduce(jnp.add, [
             _roll(unsat32[rp], sp) for rp, sp in col_edges[c]])
 
-    def bf_tail(en32, hard, hard_ch, hard2):
-        """Runs after MP; returns bf_rounds [BT, 1] int32.  Semantics are
-        identical to decoders/bf.py (syndrome at round top, per-frame
-        freeze, dynamic-threshold machine; reference
-        CDecoder_FAID.cpp:6782-6816, CDecoder_OMSBF.cpp:2969-3510)."""
+    def bf_tail(en32, hard, hard_ch, hard2, st_refs, go_ref, go_init):
+        """Runs after MP; leaves bf_rounds in st_refs[4] ([BT, 1] int32).
+        Semantics are identical to decoders/bf.py (syndrome at round
+        top, per-frame freeze, dynamic-threshold machine; reference
+        CDecoder_FAID.cpp:6782-6816, CDecoder_OMSBF.cpp:2969-3510).
+        The rounds run as a scalar-gated fori over scratch-ref state,
+        NOT a while_loop: a dynamic trip count serializes the Mosaic
+        kernel pipeline (1.75 ms measured for a ~1-round tail), while
+        pl.when on an SMEM flag skips the dead rounds for real."""
+        th_ref, l0_ref, l1_ref, t_ref, rounds_ref = st_refs
         for c in range(c_blocks):
             hard[c] = (en32[c] > 0).astype(jnp.int8)
         hard_ch[...] = hard[...]
@@ -385,14 +421,22 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
             for c in range(c_blocks):
                 hard2[c] = ((en32[c] >= thr) | (en32[c] <= -thr)
                             ).astype(jnp.int8)
+        z1 = jnp.zeros((bt, 1), jnp.int32)
+        th_ref[...] = z1 + b.gamma
+        l0_ref[...] = z1
+        l1_ref[...] = z1
+        t_ref[...] = z1 + 1
+        rounds_ref[...] = z1
+        # When the MP loop early-stopped (alive == 0), every frame's
+        # syndrome is already clean, so BF round 1 is provably a no-op
+        # (dirty == 0: no flips, no state change, rounds += 0) - skip
+        # even its syndrome sweep.  alive == 1 covers both "some frame
+        # dirty" and "ran to max_iter with unknown final state".
+        go_ref[0] = go_init
 
-        def cond(carry):
-            i, Th, l0, l1, t, rounds, go = carry
-            return (i < b.max_iter) & go
-
-        def body(carry):
-            i, Th, l0, l1, t32, rounds, go = carry
-            t = t32 != 0   # Mosaic: no i1-vector while carries
+        def body():
+            Th, l0, l1 = th_ref[...], l0_ref[...], l1_ref[...]
+            t = t_ref[...] != 0
             unsat32, count = syndrome_sweep(
                 {c: hard[c].astype(jnp.int32) for c in used_cols})
             if group:
@@ -404,9 +448,8 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
                 dirty = (count + jnp.sum(count)) > 0    # [BT, 1]
             else:
                 dirty = count > 0                       # [BT, 1]
-            rounds = rounds + dirty.astype(jnp.int32)
+            rounds_ref[...] = rounds_ref[...] + dirty.astype(jnp.int32)
 
-            del t32
             if b.kind == "static":
                 # flip every VN with votes >= min(max_vote, cap)
                 votes = {c: col_votes(unsat32, c) for c in range(c_blocks)}
@@ -468,14 +511,15 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
                 l1_n = jnp.where(dirty, l1_u, l1)
                 t_n = jnp.where(dirty, any_flip.astype(jnp.int32),
                                 t.astype(jnp.int32))
-            return (i + 1, Th_n, l0_n, l1_n, t_n.astype(jnp.int32),
-                    rounds, jnp.any(dirty))
+            th_ref[...] = Th_n
+            l0_ref[...] = l0_n
+            l1_ref[...] = l1_n
+            t_ref[...] = t_n.astype(jnp.int32)
+            go_ref[0] = jnp.any(dirty).astype(jnp.int32)
 
-        z1 = jnp.zeros((bt, 1), jnp.int32)
-        carry = (jnp.int32(0), z1 + b.gamma, z1, z1, z1 + 1, z1,
-                 jnp.bool_(True))
-        out = jax.lax.while_loop(cond, body, carry)
-        return out[5]
+        jax.lax.fori_loop(
+            0, b.max_iter,
+            lambda i, _: (pl.when(go_ref[0] != 0)(body), 0)[1], 0)
 
     n_info_blocks = code.n_info // z
     fuse_channel = chan is not None
@@ -523,6 +567,11 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
             hard_ch_scr = args.pop(0)
             if two_bit:
                 hard2_scr = args.pop(0)
+        alive_ref = args.pop(0) if stop_early else None
+        bf_st = bf_go = None
+        if fuse_bf:
+            bf_st = tuple(args.pop(0) for _ in range(5))
+            bf_go = args.pop(0)
         assert not args, len(args)
 
         # Working state lives in VMEM as int32 for the whole decode -
@@ -625,19 +674,31 @@ def _make_kernel(code: QCCode, dcfg: DecoderConfig, bt: int,
 
             return any_active
 
+        # Early stop also runs as a FORI loop, not a while_loop: a
+        # dynamic trip count serializes Mosaic's kernel pipeline
+        # (frame-mode decode measured 13% faster as a gated fori).
+        # Iterations after every frame in the tile was clean are
+        # skipped for real by the scalar `alive` flag (pl.when on an
+        # SMEM scalar is a branch, not masking), which reproduces the
+        # while_loop's early exit bit-for-bit - updates and iteration
+        # counters are already predicated per iteration.
         if stop_early:
-            # Early exit: once every frame in the tile was clean at an
-            # iteration top, later iterations are no-ops (frames are
-            # frozen) - skip their syndrome sweeps too.
-            jax.lax.while_loop(
-                lambda c: (c[0] < max_iter) & (c[1] != 0),
-                lambda c: (c[0] + 1, iteration_body(c[0]).astype(jnp.int32)),
-                (jnp.int32(0), jnp.int32(1)))
+            alive_ref[0] = 1
+
+            def gated_iteration(it):
+                @pl.when(alive_ref[0] != 0)
+                def _():
+                    alive_ref[0] = iteration_body(it).astype(jnp.int32)
+
+            jax.lax.fori_loop(0, max_iter,
+                              lambda it, _: (gated_iteration(it), 0)[1], 0)
         else:
             jax.lax.fori_loop(0, max_iter,
                               lambda it, _: (iteration_body(it), 0)[1], 0)
         if fuse_bf:
-            bf_out[...] = bf_tail(en32, hard_scr, hard_ch_scr, hard2_scr)
+            bf_tail(en32, hard_scr, hard_ch_scr, hard2_scr, bf_st, bf_go,
+                    alive_ref[0] if stop_early else jnp.int32(1))
+            bf_out[...] = bf_st[4][...]
         if fuse_stats:
             # Per-frame info-bit error count (CalculateErrors' core
             # reduction, reference CLDPC.cpp:4819-4995) computed in VMEM:
@@ -723,12 +784,7 @@ def make_mp_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
                 jax.ShapeDtypeStruct((c_blocks, b, z), jnp.int8, **vkw),
                 jax.ShapeDtypeStruct((b, 1), jnp.int32, **vkw),
             ),
-            scratch_shapes=(
-                [pltpu.VMEM((n_entries, bt, z), jnp.int8),
-                 pltpu.VMEM((c_blocks, bt, z), jnp.int32)]
-                + ([pltpu.VMEM((c_blocks, bt, z), jnp.int8)]
-                   if (style == "faid" and dcfg.ef_elimination == 2)
-                   else [])),
+            scratch_shapes=_scratch_shapes(code, dcfg, bt, fuse_bf=False),
             compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )(*lut_args, llr_cbz)
@@ -769,14 +825,7 @@ def make_full_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
         lut_args = (lut, lut_ef)
         num_lut = 2
 
-    scratch = [pltpu.VMEM((n_entries, bt, z), jnp.int8),
-               pltpu.VMEM((c_blocks, bt, z), jnp.int32)]
-    if use_ef2:
-        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
-    scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard
-    scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard_ch
-    if two_bit:
-        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
+    scratch = _scratch_shapes(code, dcfg, bt, fuse_bf=True)
 
     def full(llr_cbz: jax.Array):
         b = llr_cbz.shape[1]
@@ -861,15 +910,7 @@ def make_stats_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
         lut_args = (lut, lut_ef)
         num_lut = 2
 
-    scratch = [pltpu.VMEM((n_entries, bt, z), jnp.int8),
-               pltpu.VMEM((c_blocks, bt, z), jnp.int32)]
-    if use_ef2:
-        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
-    if fuse_bf:
-        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard
-        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard_ch
-        if two_bit:
-            scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
+    scratch = _scratch_shapes(code, dcfg, bt, fuse_bf=fuse_bf)
 
     def stats(llr_cbz: jax.Array, ref_cbz: jax.Array | None = None):
         b = llr_cbz.shape[1]
@@ -970,15 +1011,7 @@ def build_fused_sim(code: QCCode, cfg, interpret: bool = False):
         lut_args = (lut, lut_ef)
         num_lut = 2
 
-    scratch = [pltpu.VMEM((n_entries, bt, z), jnp.int8),
-               pltpu.VMEM((c_blocks, bt, z), jnp.int32)]
-    if use_ef2:
-        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
-    if fuse_bf:
-        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard
-        scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))  # hard_ch
-        if two_bit:
-            scratch.append(pltpu.VMEM((c_blocks, bt, z), jnp.int8))
+    scratch = _scratch_shapes(code, dcfg, bt, fuse_bf=fuse_bf)
 
     batch = cfg.batch_per_device
     n_out = (3 if fuse_bf else 2) + 2      # err, iters[, bf], mod x2

@@ -50,14 +50,22 @@ def test_pallas_decoder_vma_under_shard_map(rng):
     """The fused MP+BF kernel (interpret mode) inside shard_map: covers
     the vma= out_shape derivation (ops/pallas_decoder.py) that
     previously only production TPU runs exercised.  Per-device results
-    must equal the unsharded decode of the same batch."""
+    must equal the unsharded decode of the same batch.
+
+    Uses the Mosaic-TPU interpreter: the HLO interpreter discharges the
+    kernel's scratch refs into a scan whose vma propagation chokes on
+    the scalar-gated iteration flag (jax quirk); Mosaic-interpret
+    handles it and is also what the sim-kernel shard_map test uses."""
+    from jax.experimental.pallas import tpu as pltpu
+
     tcode = toy_code()
     dcfg = dataclasses.replace(
         DecoderConfig.for_method(DecodeMethod.FAID_DTBF, max_iter=3),
         bf=dataclasses.replace(
             DecoderConfig.for_method(DecodeMethod.FAID_DTBF).bf,
             max_iter=2))
-    dec = build_decoder(tcode, dcfg, backend="pallas", interpret=True)
+    dec = build_decoder(tcode, dcfg, backend="pallas",
+                        interpret=pltpu.InterpretParams())
     mesh = mesh_mod.make_mesh()
     llr = jnp.asarray(rng.integers(-7, 8, size=(8 * 32, tcode.n_var),
                                    dtype=np.int8))
