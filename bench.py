@@ -52,6 +52,15 @@ def main():
                          "reference's 32-frame-word semantics, which is "
                          "also the faster fused path; 'frame' = per-frame "
                          "freeze)")
+    ap.add_argument("--encode", default="fake",
+                    choices=["fake", "random"],
+                    help="'fake' (default) = all-zero codeword, the "
+                         "reference's own default run path (FAKE_ENCODE, "
+                         "CSimulate.cpp:4,103) and what the CPU baseline "
+                         "measured; 'random' = random messages through "
+                         "the GF(2) encoder (a harder workload the "
+                         "reference cannot run - its GenMatrix blobs are "
+                         "missing)")
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -70,6 +79,7 @@ def main():
                     max_iteration=6, mod_type=2,
                     batch_per_device=args.batch, seed=0,
                     stop_mode=args.stop_mode,
+                    fake_encode=args.encode == "fake",
                     channel_backend=args.channel)
     loop = jax.jit(build_sim_loop(code, cfg, args.rounds,
                                   backend=args.backend))
@@ -125,7 +135,8 @@ def main():
     fused_sim = (_resolve_fused_sim(code, cfg, args.backend, False)
                  is not None)
     print(f"# channel={args.channel} stop_mode={args.stop_mode} "
-          f"backend={args.backend} fused_sim_kernel={fused_sim} "
+          f"backend={args.backend} encode={args.encode} "
+          f"fused_sim_kernel={fused_sim} "
           f"frames={frames} wall={dt:.2f}s "
           f"fer={stats['error_frames']}"
           f"/{stats['test_frames']} avg_it="
