@@ -31,6 +31,24 @@ from ..ops import channel, modem, pallas_channel
 from ..ops import fixed_point as fp
 
 
+def _random_message_bits(key: jax.Array, batch: int,
+                         n_info: int) -> jnp.ndarray:
+    """iid Bernoulli(1/2) message bits [batch, n_info] int8.
+
+    One threefry word yields 32 bits (jax.random.bernoulli burns a full
+    uniform per bit - measured ~1.1 ms/round of the random-encode path
+    at batch 2048).  Statistically identical source; the reference's
+    GenMsgSeq is rand()%2 (CLDPC.cpp:60-66), and RNG streams are a
+    documented deviation."""
+    if n_info % 32:
+        return jax.random.bernoulli(key, 0.5,
+                                    (batch, n_info)).astype(jnp.int8)
+    words = jax.random.bits(key, (batch, n_info // 32), jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return ((words[:, :, None] >> shifts) & 1).astype(jnp.int8).reshape(
+        batch, n_info)
+
+
 def _histogram(x: jnp.ndarray, length: int) -> jnp.ndarray:
     """bincount(clip(x, 0, length-1), length) via a compare matrix - a
     [batch, length] broadcast-compare + column sum instead of
@@ -108,8 +126,8 @@ def build_sim_step(code: QCCode, cfg: SimConfig,
             # All-zero codeword path (reference FakeEncoder, CLDPC.cpp:163).
             cw = jnp.zeros((batch, code.n_var), jnp.int8)
         else:
-            u = jax.random.bernoulli(k_msg, 0.5, (batch, n_info))
-            cw = encode(u.astype(jnp.int8))
+            u = _random_message_bits(k_msg, batch, n_info)
+            cw = encode(u)
 
         ref_bits = cw[:, :n_info].astype(jnp.bool_)
 
@@ -226,8 +244,8 @@ def build_debug_step(code: QCCode, cfg: SimConfig,
         if cfg.fake_encode:
             cw = jnp.zeros((batch, code.n_var), jnp.int8)
         else:
-            u = jax.random.bernoulli(k_msg, 0.5, (batch, n_info))
-            cw = encode(u.astype(jnp.int8))
+            u = _random_message_bits(k_msg, batch, n_info)
+            cw = encode(u)
         if fused_sim_emit is not None:
             llr, _ = fused_sim_emit(None if cfg.fake_encode else cw,
                                     k_noise, sigma)
