@@ -112,22 +112,28 @@ def main():
     stats = {k: (v.tolist() if getattr(v, "ndim", 0) else int(v))
              for k, v in out.items()}
 
+    # Baselines are keyed per encode mode so vs_baseline always compares
+    # identical workloads (round-4 correction: the random-encode series
+    # and the fake-encode headline are different workloads; docs/BENCH.md).
     base_path = Path(__file__).parent / "bench_baseline.json"
-    if base_path.exists():
-        baseline = json.loads(base_path.read_text())["value"]
-    else:
-        baseline = mbit_s
-    if args.update_baseline or not base_path.exists():
-        base_path.write_text(json.dumps(
-            {"value": mbit_s, "unit": "Mbit/s",
-             "config": f"QPSK FAID+DTBF 6it batch={args.batch} "
-                       f"snr={args.snr} backend={args.backend}"}))
+    base = json.loads(base_path.read_text()) if base_path.exists() else {
+        "unit": "Mbit/s", "baselines": {}}
+    entry = base.get("baselines", {}).get(args.encode)
+    baseline = entry["value"] if entry else mbit_s
+    if args.update_baseline or entry is None:
+        base.setdefault("baselines", {})[args.encode] = {
+            "value": mbit_s,
+            "recorded": f"batch={args.batch} snr={args.snr} "
+                        f"backend={args.backend}"}
+        base_path.write_text(json.dumps(base, indent=2) + "\n")
 
     print(json.dumps({
         "metric": "decoded_info_throughput_faid_dtbf_qpsk_4dB",
         "value": round(mbit_s, 3),
         "unit": "Mbit/s",
         "vs_baseline": round(mbit_s / baseline, 4),
+        "encode": args.encode,
+        "baseline_same_workload": round(baseline, 3),
     }))
     # Context for humans (stderr-style extras kept off the JSON line).
     import sys

@@ -48,6 +48,31 @@ def parse_pos_noeuds(constants_path: Path) -> np.ndarray:
     return vals
 
 
+def parse_reference_codeword(codeword_path: Path) -> np.ndarray:
+    """Parse the real 50G-PON codeword the reference keeps commented out.
+
+    ``Codeword.h`` ships ``CodeWord_sym`` as all zeros but retains a genuine
+    non-zero codeword ("50G PON NS NP") in a comment block (reference
+    Codeword.h:5-460).  That vector is the one external known-answer fixture
+    for the encoder datapath: it was produced by the reference authors'
+    *original* generator matrix (the ``GenMatrix`` blobs absent from the
+    checkout, Constants_SSE.h:3106), so H.c = 0 under our extracted H and
+    encode(c[:K]) == c anchor both the H extraction and the reconstructed
+    GF(2) parity projection against data we did not derive ourselves.
+    """
+    text = codeword_path.read_text()
+    m = re.search(r"//\s*50G PON NS NP\s*\n(.*?)\};", text, re.S)
+    if m is None:
+        raise ValueError("commented '50G PON NS NP' codeword not found")
+    bits = np.array(
+        [int(tok) for tok in re.findall(r"[01]", m.group(1).replace("//", " "))],
+        dtype=np.uint8,
+    )
+    if bits.size != N_VAR:
+        raise ValueError(f"expected {N_VAR} codeword bits, parsed {bits.size}")
+    return bits
+
+
 def rows_from_flat(flat: np.ndarray) -> list[np.ndarray]:
     """Split the flat edge list into per-CN rows using the degree groups."""
     rows = []
@@ -134,6 +159,11 @@ def main(ref_root: str) -> None:
     print(f"wrote {out}")
     print("degrees per block-row:", degrees)
     print("weight histogram:", np.bincount(vn_weight))
+
+    cw = parse_reference_codeword(Path(ref_root) / "Codeword.h")
+    cw_out = Path(__file__).parent / "data" / "50gpon_codeword.npz"
+    np.savez_compressed(cw_out, codeword=cw)
+    print(f"wrote {cw_out} (weight {int(cw.sum())})")
 
 
 if __name__ == "__main__":

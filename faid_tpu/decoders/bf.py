@@ -36,12 +36,18 @@ GROUP = 32  # the reference's SIMD word = 32 frames (CLDPC.h:21)
 def group_any(active: jnp.ndarray) -> jnp.ndarray:
     """[batch] bool -> [batch] bool: OR over each consecutive 32-frame
     group (the reference early-stop granularity, CDecoder_OMS.cpp:325).
-    Batches smaller than 32 form a single group."""
+
+    Group semantics are *defined* on 32-frame SIMD words
+    (CDecoder_OMS.cpp:325-327); a smaller batch would be neither frame
+    nor reference semantics, so it is rejected rather than silently
+    forming one undersized group."""
     b = active.shape[0]
-    g = min(GROUP, b)
-    if b % g:
-        raise ValueError(f"stop_mode='group' needs batch % {g} == 0, got {b}")
-    return jnp.repeat(jnp.any(active.reshape(b // g, g), axis=1), g)
+    if b % GROUP:
+        raise ValueError(
+            f"stop_mode='group' is defined on {GROUP}-frame words "
+            f"(reference CDecoder_OMS.cpp:325-327); batch must be a "
+            f"multiple of {GROUP}, got {b}")
+    return jnp.repeat(jnp.any(active.reshape(b // GROUP, GROUP), axis=1), GROUP)
 
 
 def _weight_mask(code: QCCode, gamma: int) -> jnp.ndarray:

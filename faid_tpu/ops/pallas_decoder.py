@@ -960,6 +960,10 @@ def supports_sim(code: QCCode, cfg) -> bool:
     dcfg = cfg.decoder()
     return (supports_stats(code, dcfg)
             and cfg.mod_type in (1, 2)
+            # The fused QPSK symbol-error reduction pairs (even, odd)
+            # lanes within a block column and masks the wrap read at
+            # lane Z-1, which requires an even Z.
+            and (cfg.mod_type != 2 or code.z % 2 == 0)
             and cfg.quant_bits in (2, 3, 4, 5)
             and cfg.batch_per_device % 32 == 0)
 
@@ -1118,6 +1122,9 @@ def build_fused_sim_emit(code: QCCode, cfg, interpret: bool = False):
             cw_args = (cw_cbz,)
         try:
             vma = jax.typeof(params).vma or None
+            if cw_args:  # mirror build_fused_sim: a device-varying cw
+                vma = (vma or frozenset()) | jax.typeof(cw_args[0]).vma
+                vma = vma or None
         except Exception:
             vma = None
         vkw = {"vma": vma} if vma else {}

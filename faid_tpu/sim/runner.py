@@ -44,6 +44,30 @@ HIST_KEYS = ("mp_hist", "bf_hist")
 MAX_ERR_CHUNKS = 256
 
 
+def itercount_ref_lines(bf_hist, bf_cap: int, word_exact: bool) -> list[str]:
+    """The reference's iterCount.txt lines (CSimulate.cpp:171-179):
+    ``i: count`` for nonzero buckets of BF rounds USED, i = 1..cap.
+    NB the decoders' return value counts UP from 0 per BF round
+    (CDecoder_OMSBF.cpp:2968-3510: ``int BFiter = 0; while (BFiter <
+    _maxBFiter) { ... BFiter++; }``) — it is rounds used, despite the
+    "Remaining iterations" doc comment at CDecoder_OMSBF.cpp:10.
+    ``bf_hist`` is likewise indexed by rounds used per frame; bucket 0
+    (converged without BF) is skipped exactly as the reference's print
+    loop starting at 1 skips it.  ``word_exact`` divides by the
+    32-frame word size (valid under stop_mode='group' where all frames
+    of a word share one BF loop), making the output byte-exact vs the
+    reference binary (golden-tested in tests/test_refbinary.py)."""
+    lines = []
+    for used in range(1, bf_cap + 1):
+        n = int(bf_hist[used]) if used < len(bf_hist) else 0
+        if word_exact:
+            assert n % 32 == 0, "group-mode hist not word-aligned"
+            n //= 32
+        if n:
+            lines.append(f"{used}: {n}\n")
+    return lines
+
+
 def _add_counter(a, b):
     if isinstance(a, list):
         if len(a) != len(b):
@@ -246,10 +270,19 @@ class MonteCarloRunner:
                      for k, v in raw.items()}
             for k in c:
                 c[k] = _add_counter(c[k], stats[k])
-            if (stats["error_frames"] > 0
-                    and len(self._state["err_chunks"]) < MAX_ERR_CHUNKS):
-                self._state["err_chunks"].append(
-                    [rnd, rnd + self.rounds_per_sync])
+            if stats["error_frames"] > 0:
+                if len(self._state["err_chunks"]) < MAX_ERR_CHUNKS:
+                    self._state["err_chunks"].append(
+                        [rnd, rnd + self.rounds_per_sync])
+                elif not self._state.get("err_chunks_truncated"):
+                    # No silent caps: later forensics replay only covers
+                    # the recorded ranges, so say so once per SNR point.
+                    self._state["err_chunks_truncated"] = True
+                    warnings.warn(
+                        f"SNR {snr_db:g} dB: error-chunk recording capped "
+                        f"at {MAX_ERR_CHUNKS} ranges; collect_error_frames "
+                        "will only replay the oldest error-bearing rounds",
+                        stacklevel=2)
             rnd += self.rounds_per_sync
             sync += 1
             self._state["round"] = rnd
@@ -282,6 +315,7 @@ class MonteCarloRunner:
             self._state["round"] = 0
             self._state["counters"] = self._zero_counters()
             self._state["err_chunks"] = []
+            self._state["err_chunks_truncated"] = False
             self._save_checkpoint()
             # Early sweep exit once the channel is clean enough that the
             # frame-error target can no longer be hit in reasonable time is
@@ -315,23 +349,25 @@ class MonteCarloRunner:
         (CSimulate.cpp:171-179); here both MP and BF histograms.
 
         ``ref_format=True`` emits the reference's exact ``i: count``
-        lines instead, keyed by REMAINING BF iterations (cap - used,
-        the value the decoders return, e.g. CDecoder_OMSBF.cpp:3557),
-        zero-count lines skipped.  Granularity deviation: the reference
-        increments once per 32-frame SIMD word; these counts are per
-        frame (divide by 32 under stop_mode='group', where all frames
-        of a word share one BF loop, to recover word counts)."""
+        lines instead, keyed by BF rounds USED (the value the decoders
+        return — an up-counter, CDecoder_OMSBF.cpp:2968-3510),
+        zero-count lines skipped.  The reference increments once per
+        32-frame SIMD word (CSimulate.cpp:149,171-179); under
+        stop_mode='group' with batch % 32 == 0 every frame of a word
+        shares one BF loop, so the word count is exactly the frame
+        count / 32 and the output is byte-exact (golden-file-tested vs
+        the compiled reference in tests/test_refbinary.py).  Under
+        stop_mode='frame' counts stay per frame (a finer granularity
+        the reference cannot express; documented deviation)."""
         lines = []
         bf_cap = self.cfg.decoder().bf.max_iter
+        word_exact = (self.cfg.stop_mode == "group"
+                      and self.cfg.batch_per_device % 32 == 0)
         for r in self.results:
             mp = r.counters.get("mp_hist", [])
             bf = r.counters.get("bf_hist", [])
             if ref_format:
-                for i in range(1, bf_cap + 1):
-                    used = bf_cap - i
-                    n = bf[used] if used < len(bf) else 0
-                    if n:
-                        lines.append(f"{i}: {n}\n")
+                lines.extend(itercount_ref_lines(bf, bf_cap, word_exact))
                 continue
             lines.append(f"SNR {r.snr_db:.2f}\n")
             lines.append("  mp_iters " +

@@ -149,6 +149,34 @@ int main(int argc, char** argv)
         return 0;
     }
 
+    if (mode == "itercount") {
+        // Reproduce the reference's iterCount.txt writer byte-for-byte
+        // (CSimulate.cpp:97-99, 149-155, 171-179): one histogram bump of
+        // the decoder's returned BF round count per 32-frame word
+        // (methods 3/4; an up-counter = rounds used, CDecoder_OMSBF.cpp
+        // :2968-3510), then "i: count" lines for the nonzero buckets
+        // 1..50, written to stdout.
+        if (argc != 6) die("itercount <method 3|4> <max_iter> <n_words> <in.i8>");
+        int method = atoi(argv[2]), max_iter = atoi(argv[3]);
+        long n_words = atol(argv[4]);
+        if (method != 3 && method != 4) die("itercount needs method 3 or 4");
+        CLDPC ldpc;
+        ldpc.Initial((int)FR, max_iter);
+        FILE* fi = fopen(argv[5], "rb");
+        if (!fi) die("cannot open input");
+        long BFiters_[51] = { 0 };
+        for (long w = 0; w < n_words; ++w) {
+            if (fread(ldpc.fixInput, 1, FR * CHAN, fi) != FR * CHAN)
+                die("short read");
+            int bfiter = run_decode(ldpc, method);
+            if (bfiter >= 0 && bfiter <= 50) BFiters_[bfiter]++;
+        }
+        fclose(fi);
+        for (int i = 1; i <= 50; i++)
+            if (BFiters_[i] != 0) printf("%d: %ld\n", i, BFiters_[i]);
+        return 0;
+    }
+
     if (mode == "fer") {
         if (argc < 8) die("fer <method> <max_iter> <sigma> <scale> <n_rounds> <seed> [mod_type=1] [depth=1]");
         int method = atoi(argv[2]), max_iter = atoi(argv[3]);

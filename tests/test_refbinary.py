@@ -148,3 +148,43 @@ def test_decode_parity(harness, workdir, code, method, f1, f2):
     decode = build_decoder(code, dcfg, backend="xla")
     got = np.asarray(decode(jnp.asarray(llr))["hard"], dtype=np.int8)
     np.testing.assert_array_equal(ref, got)
+
+
+def test_itercount_golden(harness, workdir, code):
+    """iterCount.txt byte-exactness under group mode: the reference bumps
+    one histogram bucket of BF rounds used per 32-frame word
+    (CSimulate.cpp:149, 171-179; the decoder return value is an
+    up-counter, CDecoder_OMSBF.cpp:2968-3510); our per-frame bf_hist
+    divided by 32 must reproduce its ``i: count`` lines byte-for-byte
+    on identical LLR inputs (method 3 = OMS+BF, the BF_ITER_COUNT
+    path).  This test caught the round-4 writer mis-keying counts as
+    cap-minus-used, trusting the reference's wrong doc comment."""
+    method, f1, f2 = DecodeMethod.OMS_BF, 1, 2
+    write_profile(workdir, int(method), f1, f2)
+    rng = np.random.default_rng(91)
+    n_words = 4
+    # Noisy enough that words use a spread of BF rounds (some clean,
+    # some needing several flips, some exhausting the budget).
+    sigma = 1.0 / np.sqrt(0.8444444 * 2 * 10 ** 0.375)
+    y = -1.0 + sigma * rng.standard_normal((32 * n_words, N_VAR))
+    llr = np.clip(np.round(y * 13.0), -7, 7).astype(np.int8)
+    blob = b"".join(
+        llr[32 * w:32 * (w + 1), :N_INFO].tobytes()
+        + llr[32 * w:32 * (w + 1), N_INFO:].tobytes()
+        for w in range(n_words))
+    (workdir / "llr.bin").write_bytes(blob)
+    ref_out = subprocess.run(
+        [str(harness), "itercount", str(int(method)), "6", str(n_words),
+         "llr.bin"], cwd=workdir, check=True, capture_output=True, text=True)
+
+    dcfg = DecoderConfig.for_method(method, max_iter=6, factor_1=f1,
+                                    factor_2=f2, stop_mode="group")
+    decode = build_decoder(code, dcfg, backend="xla")
+    used = np.asarray(decode(jnp.asarray(llr))["bf_rounds"])
+    bf_cap = dcfg.bf.max_iter
+    hist = np.bincount(used, minlength=bf_cap + 1)
+    assert len(set(used.tolist())) > 1, "degenerate fixture: tune sigma"
+
+    from faid_tpu.sim.runner import itercount_ref_lines
+    mine = "".join(itercount_ref_lines(hist, bf_cap, word_exact=True))
+    assert mine == ref_out.stdout

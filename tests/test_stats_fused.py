@@ -56,6 +56,25 @@ def test_stats_kernel_matches_hard_path(rng, method, stop_mode):
     np.testing.assert_array_equal(got["bf_rounds"], want["bf_rounds"])
 
 
+@pytest.mark.parametrize("method", METHODS)
+def test_stats_kernel_full_range_llrs(rng, method):
+    """Pin the clip-elision proof (_msg_bound/sat8) at the extremes:
+    full-range int8 channel LLRs (|llr| up to 127 at iteration 0, en at
+    the +/-31 rails) must keep pallas == xla bit-for-bit — if the elided
+    int8 saturation could ever fire, this is where it would."""
+    code = toy_code()
+    dcfg = small_cfg(method)
+    llr = rng.integers(-128, 128, size=(32, code.n_var)).astype(np.int8)
+    want = reference_counts(code, dcfg, llr, None)
+    st = jax.jit(build_stats_decoder(code, dcfg, backend="pallas",
+                                     interpret=True))
+    got = jax.tree.map(np.asarray, st(jnp.asarray(llr)))
+    np.testing.assert_array_equal(got["err_bits"], want["err_bits"],
+                                  err_msg=method.name)
+    np.testing.assert_array_equal(got["mp_iters"], want["mp_iters"])
+    np.testing.assert_array_equal(got["bf_rounds"], want["bf_rounds"])
+
+
 def test_stats_kernel_real_reference_word(rng):
     """ref_bits path: error counts measured against a nonzero expected
     info word must match the XLA XOR+reduce."""
