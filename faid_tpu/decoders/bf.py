@@ -143,6 +143,16 @@ def run_dtbf(hard: jnp.ndarray, code: QCCode, cfg: BFConfig,
         count = syn.error_count(unsat)
         dirty = group_any(count > 0) if group else (count > 0)
         votes = syn.flip_votes(unsat, code)
+        # XLA's algebraic simplifier ping-pongs between its
+        # concatenate-splitting and xor-cancellation rewrites when
+        # ``hard`` reaches the flip mask both directly (the disagree
+        # term below) and through the rolled syndrome/vote chain,
+        # tripping the pass's circular-loop breaker on every compile of
+        # this while body ("ran for 50 runs on computation region_*"
+        # errors, MULTICHIP_r04.json tail).  Cutting the rewrite path at
+        # ``votes`` - a tensor the loop materializes anyway - stops the
+        # cycle; optimization_barrier is an identity, numerics untouched.
+        votes = jax.lax.optimization_barrier(votes)
 
         Th2, l0n, l1n = _dtbf_threshold(Th, l0, l1, t, cfg)
 

@@ -127,9 +127,9 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
 
         en_new, msgs_new = en, msgs
         if needs_votes:
-            era_new = (jnp.zeros((en.shape[0], code.n_block_cols, code.z),
-                                 jnp.bool_)
-                       | (vma.batch_zeros(en) != 0)[:, None, None])
+            era_new = vma.pvary_like(
+                jnp.zeros((en.shape[0], code.n_block_cols, code.z),
+                          jnp.bool_), en)
         else:
             era_new = jnp.zeros((1,), jnp.bool_)
         for r in range(code.n_block_rows):
@@ -161,10 +161,10 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
     def decode(llr: jnp.ndarray):
         batch = llr.shape[0]
         en = ingest_llrs(llr, code)
-        # Initial carries derive from `en` so they typecheck as
-        # device-varying under shard_map (utils/vma.py).
-        z8 = vma.batch_zeros(en, jnp.int8)
-        msgs = jnp.zeros((batch, n_entries, code.z), jnp.int8) + z8[:, None, None]
+        # Initial carries cast to `en`'s device-varying type so the
+        # while_loop typechecks under shard_map (utils/vma.py).
+        msgs = vma.pvary_like(
+            jnp.zeros((batch, n_entries, code.z), jnp.int8), en)
         mp_iters = vma.batch_zeros(en, jnp.int32)
 
         def cond(carry):
@@ -183,7 +183,8 @@ def build_decoder(code: QCCode, dcfg: DecoderConfig, backend: str = "xla",
             mp_iters = mp_iters + counted.astype(jnp.int32)
             return it + 1, en, msgs, jnp.any(active), mp_iters
 
-        carry = (jnp.int32(0), en, msgs, mp_iters.sum() == 0, mp_iters)
+        carry = (jnp.int32(0), en, msgs,
+                 vma.pvary_like(jnp.bool_(True), en), mp_iters)
         _, en, msgs, _, mp_iters = jax.lax.while_loop(cond, body, carry)
 
         hard = syn.hard_decision(en)

@@ -29,6 +29,7 @@ from ..config import SimConfig
 from ..decoders.core import build_decoder, build_stats_decoder
 from ..ops import channel, modem, pallas_channel
 from ..ops import fixed_point as fp
+from ..utils import vma
 
 
 def _random_message_bits(key: jax.Array, batch: int,
@@ -305,17 +306,18 @@ def build_sim_loop(code: QCCode, cfg: SimConfig, rounds: int,
             stats = step(jax.random.fold_in(key, round0 + i), sigma)
             return jax.tree.map(jnp.add, acc, stats)
 
-        # Zero initial counters derived from the key so they carry its
-        # device-varying type under shard_map (see utils/vma.py).
-        zero = jax.random.key_data(key).astype(jnp.int32).sum() * 0
-        init = {k: zero for k in (
+        # Zero initial counters cast to the key's device-varying type so
+        # the fori_loop carry typechecks under shard_map (utils/vma.py).
+        init = {k: vma.pvary_like(jnp.int32(0), key) for k in (
             "test_frames", "error_bits", "error_frames", "lt3_frames",
             "mod_error_bits", "mod_error_symbols", "mod_error_frames",
             "mp_iters", "bf_rounds")}
         dcfg = cfg.decoder()
         bf_cap = max(dcfg.bf.max_iter, 1)
-        init["mp_hist"] = jnp.zeros(dcfg.max_iter + 1, jnp.int32) + zero
-        init["bf_hist"] = jnp.zeros(bf_cap + 1, jnp.int32) + zero
+        init["mp_hist"] = vma.pvary_like(
+            jnp.zeros(dcfg.max_iter + 1, jnp.int32), key)
+        init["bf_hist"] = vma.pvary_like(
+            jnp.zeros(bf_cap + 1, jnp.int32), key)
         return jax.lax.fori_loop(0, rounds, body, init)
 
     return loop
