@@ -102,7 +102,18 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--max-frames", type=int, default=2_000_000)
     ap.add_argument("--seed", type=int, default=20260817)
-    ap.add_argument("--z-threshold", type=float, default=4.0)
+    # Threshold rationale: the z statistics are approximately standard
+    # normal under H0 (identical FER), and the matrix has ~33 rows, so
+    # the familywise false-alarm rate at |z| < 3 is about
+    # 33 * 2*(1-Phi(3)) ~ 9% - one spurious flag per ~11 full reruns -
+    # while a real implementation bias at any anchored operating point
+    # reproduces on rerun and grows with frames.  (Round 4 used 4;
+    # tightened to 3 after the thin faid2 row was re-measured at 4x
+    # frames, VERDICT r4 item 3.)
+    ap.add_argument("--z-threshold", type=float, default=3.0)
+    ap.add_argument("--target-cap", type=int, default=200,
+                    help="cap on the per-row faid_tpu error target "
+                         "(target = max(50, min(cap, ref_error_frames)))")
     args = ap.parse_args()
 
     from faid_tpu.utils.cache import enable_compilation_cache
@@ -148,7 +159,7 @@ def main():
             continue
         # Enough errors for the z-test to have teeth; deep points are
         # bounded by max-frames.
-        target = max(50, min(200, rr["error_frames"]))
+        target = max(50, min(args.target_cap, rr["error_frames"]))
         res = {"method": rr["method"], "snr_db": snr,
                "factor_1": f1, "factor_2": f2,
                "mod_type": rr.get("mod_type", 2),

@@ -87,6 +87,15 @@ POINTS = (
         # per row (chunks fan out over all cores).
         (2, 1, 6, 3.9, 2, 1, 13.0, "faid3"),
         (4, 1, 6, 3.9, 2, 1, 13.0, "faid3"),
+        # Round-5 thickening (VERDICT r4 item 3): a second, lower-FER
+        # point per high-order modulation (waterfall mid-slope ~1e-3;
+        # the 14.0/18.6 dB rows sit at the waterfall top), and one
+        # depth-3 end-to-end row (CModulate.cpp:95-212 depth-D loop;
+        # depths 1/2 were already anchored e2e, depth 3 only at the
+        # component level).
+        (4, 1, 6, 15.0, 6, 2, 13.0, "faid3"),   # 64-QAM mid-waterfall
+        (4, 1, 6, 19.2, 8, 1, 13.0, "faid3"),   # 256-QAM mid-waterfall
+        (2, 1, 6, 8.2, 4, 3, 13.0, "faid3"),    # 16-QAM, depth 3
     ]
 )
 
