@@ -33,6 +33,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--factor1", type=int)
     ap.add_argument("--factor2", type=int)
     ap.add_argument("--scale", type=float)
+    ap.add_argument("--quant-bits", type=int, choices=[1, 2, 3, 4, 5, 6],
+                    help="channel LLR quantizer width (reference "
+                         "float2LimitChar_{n}bit, CLDPC.cpp:4385-4770; "
+                         "default 4 = the reference run path, "
+                         "CSimulate.cpp:124)")
     ap.add_argument("--seed", type=int)
     ap.add_argument("--batch", type=int, help="frames per device per step")
     ap.add_argument("--min-frames", type=int)
@@ -109,7 +114,8 @@ def config_from_args(args) -> "SimConfig":
         "snr_end": args.snr_end, "max_iteration": args.max_iter,
         "mod_type": args.mod_type, "interleave_depth": args.interleave,
         "factor_1": args.factor1, "factor_2": args.factor2,
-        "scale": args.scale, "seed": args.seed,
+        "scale": args.scale, "quant_bits": args.quant_bits,
+        "seed": args.seed,
         "batch_per_device": args.batch, "min_frames": args.min_frames,
         "min_frame_errors": args.min_frame_errors,
         "max_frames_per_snr": args.max_frames_per_snr,

@@ -117,7 +117,10 @@ def supports(code: QCCode, cfg) -> bool:
     backend used on CPU and virtual meshes has no shape requirements."""
     if cfg.mod_type not in (1, 2, 4, 6, 8):
         return False
-    if cfg.quant_bits not in (2, 3, 4, 5):    # truncating quantizers
+    # 2-5 bit: truncating quantizers; 6-bit: round-half-even over +-31
+    # (reference float2LimitChar_6bit, CLDPC.cpp:4385-4463) - same
+    # staircase machinery with half-integer step offsets (_step_offsets).
+    if cfg.quant_bits not in (2, 3, 4, 5, 6):
         return False
     if jax.devices()[0].platform == "tpu":
         if _pick_nt(code.n_var, cfg.mod_type) is None:
@@ -140,6 +143,22 @@ def _pick_nt(n: int, mod_type: int = 1, max_nt: int = 4096) -> int | None:
         if n % nt == 0 and nt <= max_nt and nt % mod_type == 0:
             best = nt
     return best
+
+
+def _step_offsets(quant_bits: int) -> np.ndarray:
+    """float64[L] quantizer step positions: {q >= k} <=> {y > off[k-1]}.
+
+    Truncating quantizers (2-5 bit, cvttps_epi32) step at the integers;
+    the 6-bit quantizer rounds half-to-even (cvtps_epi32,
+    CLDPC.cpp:4385-4463), so its steps sit at the half-integers k - 1/2.
+    The tie y == k - 1/2 itself has probability ~0 under the continuous
+    law (the strict staircase compare books it low, round-half-even
+    books half of them high; the discrepancy is far below the float32
+    ndtr error already accepted on every step probability)."""
+    lo, hi = _QUANT_LIMITS[quant_bits]
+    L = max(hi, -lo)
+    ks = np.arange(1, L + 1, dtype=np.float64)
+    return ks - 0.5 if quant_bits == 6 else ks
 
 
 def _sigma_rail(cfg, sigma):
@@ -168,12 +187,10 @@ def _threshold_ints(cfg, sigma) -> jnp.ndarray:
     unit - deep-floor campaigns no longer see spurious ~2.3e-10/bit
     max-magnitude wrong LLRs that the float chain essentially never
     produces."""
-    lo, hi = _QUANT_LIMITS[cfg.quant_bits]
-    L = max(hi, -lo)
     a = jnp.float32(_AMPLITUDE[cfg.mod_type])
     srail = _sigma_rail(cfg, jnp.float32(sigma))
     inv_scale = jnp.float32(1.0 / cfg.scale)
-    k = jnp.arange(1, L + 1, dtype=jnp.float32)
+    k = jnp.asarray(_step_offsets(cfg.quant_bits), jnp.float32)
 
     two32 = jnp.float32(4294967296.0)
     xmax = jnp.float32(2**31 - 256)          # f32-representable clamp
@@ -306,8 +323,6 @@ def _plan(mod_type: int, quant_bits: int, scale: float):
       pos[k-1]: {L_l >= k/scale},  neg[k-1]: {L_l <= -k/scale},
       hard:     {L_l > 0}."""
     folds = tuple(modem._FOLD[mod_type])
-    lo, hi = _QUANT_LIMITS[quant_bits]
-    L = max(hi, -lo)
     defs: list[tuple[str, float]] = []
     index: dict[tuple[str, float], int] = {}
 
@@ -331,11 +346,11 @@ def _plan(mod_type: int, quant_bits: int, scale: float):
     levels = []
     for lev in range(mod_type // 2):
         pos, neg, base = [], [], 0
-        for k in range(1, L + 1):
-            iv, b = compile_event(_expand_ge(lev, k / scale, folds))
+        for off in _step_offsets(quant_bits):
+            iv, b = compile_event(_expand_ge(lev, off / scale, folds))
             pos.append(iv)
             base += b
-            iv, b = compile_event(_expand_le(lev, -k / scale, folds))
+            iv, b = compile_event(_expand_le(lev, -off / scale, folds))
             assert b == 0   # a <= event can never cover the whole line
             neg.append(iv)
         hard, hb = compile_event(_expand_ge(lev, 0.0, folds))

@@ -954,8 +954,8 @@ def make_stats_decoder(code: QCCode, dcfg: DecoderConfig, bt: int = 32,
 
 def supports_sim(code: QCCode, cfg) -> bool:
     """Gate for the fully-fused sim kernel (channel + decode + stats in
-    ONE pallas_call): quantile channel coverage (BPSK/QPSK, truncating
-    quantizer - the interleave pair is transparent at one bit per LLR)
+    ONE pallas_call): quantile channel coverage (BPSK/QPSK, 2-6 bit
+    quantizers - the interleave pair is transparent at one bit per LLR)
     on top of the stats-fused decode requirements."""
     dcfg = cfg.decoder()
     return (supports_stats(code, dcfg)
@@ -964,7 +964,10 @@ def supports_sim(code: QCCode, cfg) -> bool:
             # lanes within a block column and masks the wrap read at
             # lane Z-1, which requires an even Z.
             and (cfg.mod_type != 2 or code.z % 2 == 0)
-            and cfg.quant_bits in (2, 3, 4, 5)
+            # 6-bit = the NB_BITS_VARIABLES=6 round-half-even ingest
+            # (CLDPC.cpp:4385-4463); same staircase with half-integer
+            # offsets (ops/pallas_channel._step_offsets).
+            and cfg.quant_bits in (2, 3, 4, 5, 6)
             and cfg.batch_per_device % 32 == 0)
 
 

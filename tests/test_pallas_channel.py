@@ -28,10 +28,9 @@ from faid_tpu.ops import pallas_channel as pc
 
 def _f64_thresholds(cfg, sigma):
     """Reference threshold computation in python float64."""
-    lo, hi = fp._QUANT_LIMITS[cfg.quant_bits]
-    L = max(hi, -lo)
     a = pc._AMPLITUDE[cfg.mod_type]
     srail = sigma / math.sqrt(2.0) if cfg.mod_type == 2 else sigma
+    offs = pc._step_offsets(cfg.quant_bits)
 
     def phi(t):  # standard normal CDF
         return 0.5 * (1.0 + math.erf(t / math.sqrt(2.0)))
@@ -40,9 +39,9 @@ def _f64_thresholds(cfg, sigma):
         return int(min(max(round(p * 2.0**32), 1), 2**31 - 256))
 
     A = [2**31 - small_to_int(phi(-(k / cfg.scale + a) / srail))
-         for k in range(1, L + 1)]
+         for k in offs]
     B = []
-    for k in range(1, L + 1):
+    for k in offs:
         t = (a - k / cfg.scale) / srail
         if t > 0:
             B.append(2**31 - 1 - small_to_int(phi(-t)))
@@ -54,6 +53,7 @@ def _f64_thresholds(cfg, sigma):
 
 @pytest.mark.parametrize("mod_type,quant_bits,sigma", [
     (2, 4, 0.335), (2, 4, 0.237), (1, 4, 0.41), (2, 2, 0.3), (2, 5, 0.35),
+    (2, 6, 0.335),
 ])
 def test_thresholds_vs_float64(mod_type, quant_bits, sigma):
     cfg = SimConfig(mod_type=mod_type, quant_bits=quant_bits)
@@ -83,11 +83,11 @@ def test_mirror_identity(rng):
     np.testing.assert_array_equal(np.asarray(err1), np.asarray(err0))
 
 
-@pytest.mark.parametrize("bit", [0, 1])
-def test_staircase_matches_float_chain(bit, rng):
+@pytest.mark.parametrize("bit,quant_bits", [(0, 4), (1, 4), (0, 6), (1, 6)])
+def test_staircase_matches_float_chain(bit, rng, quant_bits):
     """Away from quantizer boundaries, the staircase output must equal
     the float chain exactly for the same underlying noise draw."""
-    cfg = SimConfig(mod_type=2, quant_bits=4)
+    cfg = SimConfig(mod_type=2, quant_bits=quant_bits)
     sigma = 0.335
     srail = sigma / math.sqrt(2.0)
     a = pc._AMPLITUDE[2]
@@ -95,13 +95,19 @@ def test_staircase_matches_float_chain(bit, rng):
     z = rng.normal(size=200_000)
     soft = (a if bit else -a) + srail * z
     y = soft * cfg.scale
-    # Exclude draws within 1e-3 of a trunc boundary or the sign boundary
-    # (there the f64->grid mapping below is allowed to disagree).
-    keep = (np.abs(y - np.round(y)) > 1e-3) & (np.abs(soft) > 1e-4)
+    # Exclude draws within 1e-3 of a quantizer step (integers for the
+    # truncating quantizers, half-integers for 6-bit round-half-even)
+    # or the sign boundary (there the f64->grid mapping below is
+    # allowed to disagree).
+    if quant_bits == 6:
+        near_step = np.abs(np.abs(y - np.floor(y)) - 0.5) <= 1e-3
+    else:
+        near_step = np.abs(y - np.round(y)) <= 1e-3
+    keep = ~near_step & (np.abs(soft) > 1e-4)
     z, soft = z[keep], soft[keep]
 
     want_llr = np.asarray(fp.quantize_llr(jnp.asarray(soft, jnp.float32),
-                                          cfg.scale, 4))
+                                          cfg.scale, quant_bits))
     want_err = ((soft > 0) != bool(bit)).astype(np.int8)
 
     # Map each z to its uniform grid word in float64.
@@ -113,7 +119,7 @@ def test_staircase_matches_float_chain(bit, rng):
     mask = jnp.full(ix.shape, -1 if bit else 0, jnp.int32)
     params = jax.jit(lambda s: pc._threshold_ints(cfg, s))(
         jnp.float32(sigma))
-    got_llr, got_err = pc.staircase(ix, mask, params, 4)
+    got_llr, got_err = pc.staircase(ix, mask, params, quant_bits)
     got_llr = np.asarray(got_llr)[0]
     got_err = np.asarray(got_err)[0]
 
@@ -245,9 +251,11 @@ def test_supports_gates(code):
     assert pc.supports(code, SimConfig(mod_type=4, quant_bits=4))
     assert pc.supports(code, SimConfig(mod_type=6, quant_bits=4))
     assert pc.supports(code, SimConfig(mod_type=8, quant_bits=4))
-    assert not pc.supports(code, SimConfig(mod_type=2, quant_bits=6))
+    # 6-bit round-half-even: covered since round 5 (half-integer steps).
+    assert pc.supports(code, SimConfig(mod_type=2, quant_bits=6))
+    assert not pc.supports(code, SimConfig(mod_type=2, quant_bits=1))
     with pytest.raises(ValueError):
-        pc.build_fused_channel(code, SimConfig(mod_type=2, quant_bits=6))
+        pc.build_fused_channel(code, SimConfig(mod_type=2, quant_bits=1))
 
 
 # --------------------------- QAM (shared-draw plan) ---------------------

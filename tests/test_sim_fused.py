@@ -17,24 +17,28 @@ from faid_tpu.ops import pallas_channel, pallas_decoder as pk
 from faid_tpu.sim import pipeline
 
 
-def sim_cfg(fake=True, mod=2, method=DecodeMethod.FAID_DTBF, batch=64):
+def sim_cfg(fake=True, mod=2, method=DecodeMethod.FAID_DTBF, batch=64,
+            quant=4):
     return SimConfig(decode_method=method, mod_type=mod,
                      batch_per_device=batch, fake_encode=fake,
                      channel_backend="fused", stop_mode="group",
-                     backend="pallas", seed=7)
+                     backend="pallas", seed=7, quant_bits=quant)
 
 
-@pytest.mark.parametrize("fake,mod,method", [
-    (True, 2, DecodeMethod.FAID_DTBF),
-    (False, 2, DecodeMethod.FAID_DTBF),
-    (True, 1, DecodeMethod.FAID_DTBF),
-    (False, 1, DecodeMethod.FAID_DTBF),
-    (True, 2, DecodeMethod.OMS),        # bf kind none: en>0 stats path
-    (True, 2, DecodeMethod.OMS_DTBF),
+@pytest.mark.parametrize("fake,mod,method,quant", [
+    (True, 2, DecodeMethod.FAID_DTBF, 4),
+    (False, 2, DecodeMethod.FAID_DTBF, 4),
+    (True, 1, DecodeMethod.FAID_DTBF, 4),
+    (False, 1, DecodeMethod.FAID_DTBF, 4),
+    (True, 2, DecodeMethod.OMS, 4),     # bf kind none: en>0 stats path
+    (True, 2, DecodeMethod.OMS_DTBF, 4),
+    # NB_BITS_VARIABLES=6 ingest (round-half-even staircase, +-31).
+    (False, 2, DecodeMethod.FAID_DTBF, 6),
 ])
-def test_fused_sim_ties_to_emit_plus_stats_decoder(rng, fake, mod, method):
+def test_fused_sim_ties_to_emit_plus_stats_decoder(rng, fake, mod, method,
+                                                   quant):
     code = toy_code()
-    cfg = sim_cfg(fake=fake, mod=mod, method=method)
+    cfg = sim_cfg(fake=fake, mod=mod, method=method, quant=quant)
     assert pk.supports_sim(code, cfg)
     sim = pk.build_fused_sim(code, cfg, interpret=True)
     emit = pk.build_fused_sim_emit(code, cfg, interpret=True)
