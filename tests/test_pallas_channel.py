@@ -334,14 +334,16 @@ def test_qam_lane_layout_matches_rail_layout(mod_type, rng):
     np.testing.assert_array_equal(np.asarray(err_lane), err_rail)
 
 
-def test_qam_joint_law_16qam(rng):
+@pytest.mark.parametrize("quant_bits", [4, 6])
+def test_qam_joint_law_16qam(rng, quant_bits):
     """JOINT law of one rail's (q0, q1) vs the float chain: the two LLRs
     share a draw, so marginal agreement is not enough - a wrong shared-
-    draw wiring shifts the joint histogram even with perfect marginals."""
+    draw wiring shifts the joint histogram even with perfect marginals.
+    quant_bits=6 covers the round-half-even half-integer plan offsets."""
     import math
 
     from faid_tpu.ops import modem
-    cfg = SimConfig(mod_type=4, quant_bits=4)
+    cfg = SimConfig(mod_type=4, quant_bits=quant_bits)
     sigma = 0.35
     srail = sigma / math.sqrt(2.0)
     M = 400_000
@@ -359,8 +361,9 @@ def test_qam_joint_law_16qam(rng):
             y = np.float32(s_amp + srail * z)
             l1 = modem._fold_sub(jnp.abs(jnp.asarray(y)),
                                  modem._FOLD[4][0])
-            q0_f = np.asarray(fp.quantize_llr(jnp.asarray(y), cfg.scale, 4))
-            q1_f = np.asarray(fp.quantize_llr(l1, cfg.scale, 4))
+            q0_f = np.asarray(fp.quantize_llr(jnp.asarray(y), cfg.scale,
+                                              quant_bits))
+            q1_f = np.asarray(fp.quantize_llr(l1, cfg.scale, quant_bits))
 
             # Quantile path on the SAME z mapped to grid words.
             u = 0.5 * (1.0 + np.vectorize(math.erf)(z / math.sqrt(2.0)))
@@ -369,7 +372,7 @@ def test_qam_joint_law_16qam(rng):
             sb = jnp.full((M,), sign_bit, jnp.int32)
             mb = jnp.full((M,), mag_bit, jnp.int32)
             qs, _ = pc.staircase_qam(jnp.asarray(ix), sb, [mb], rows,
-                                     mod_type=4, quant_bits=4,
+                                     mod_type=4, quant_bits=quant_bits,
                                      scale=cfg.scale)
             q0_g, q1_g = np.asarray(qs[0]), np.asarray(qs[1])
 
