@@ -7,11 +7,11 @@ Casting the constants with ``lax.pcast(..., to='varying')`` fixes the type
 without any runtime work, and is a no-op outside shard_map.
 
 (A previous revision derived the type arithmetically — ``ref[..., 0] * 0``
-— which left ``x*0`` chains inside the sharded while-loop bodies and drove
-XLA's algebraic simplifier into its circular-loop breaker: five
-"ran for 50 runs on computation region_*_spmd" errors per 50G-PON
-multi-device compile, MULTICHIP_r04.json.  pcast is type-only and leaves
-no such residue.)"""
+— which left ``x*0`` chains for the compiler to clean up in every sharded
+loop body.  They were not the cause of the round-4 algebraic-simplifier
+circular-loop warnings — that was the DTBF vote/flip graph, fixed with an
+optimization_barrier in decoders/bf.py — but pcast is type-only, leaves
+no arithmetic residue, and is the intended API.)"""
 
 from __future__ import annotations
 
