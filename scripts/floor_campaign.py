@@ -78,9 +78,30 @@ def main():
 
         c = {"test_frames": 0, "error_frames": 0, "error_bits": 0,
              "mp_iters": 0, "bf_rounds": 0}
-        frames_per_call = args.batch * args.rounds
         t0 = time.monotonic()
         rnd = 0
+
+        def make_row(partial):
+            tf = max(c["test_frames"], 1)
+            dt = max(time.monotonic() - t0, 1e-9)
+            row = {
+                "method": method.name, "snr_db": args.snr,
+                "stop_mode": args.stop_mode,
+                "frames": c["test_frames"],
+                "error_frames": c["error_frames"],
+                "fer": c["error_frames"] / tf,
+                "ber": c["error_bits"] / tf / code.n_info,
+                "avg_mp_iters": c["mp_iters"] / tf,
+                "avg_bf_rounds": c["bf_rounds"] / tf,
+                "mbit_s": tf * code.n_info / dt / 1e6,
+                "seconds": dt,
+            }
+            if c["error_frames"] == 0:
+                row["fer_ub95"] = 3.0 / tf  # rule of three
+            if partial:
+                row["partial"] = True      # run still in flight / killed
+            return row
+
         while (c["error_frames"] < args.target_errors
                and c["test_frames"] < args.max_frames):
             outs = [loop(key, sigma, jnp.int32(rnd + i * args.rounds))
@@ -96,27 +117,19 @@ def main():
                   f"{c['error_frames']} err  "
                   f"{c['test_frames']*code.n_info/el/1e6:.0f} Mbit/s  "
                   f"{el:.0f}s", end="", flush=True)
-        dt = time.monotonic() - t0
+            # Checkpoint every batch of calls: a killed or hung run
+            # (the tunnel can wedge mid-campaign) loses at most one
+            # ~10 s dispatch group, not the whole row.
+            row = make_row(partial=True)
+            out_path.write_text(json.dumps(
+                [r for r in rows if rowkey(r) != rowkey(row)] + [row],
+                indent=1) + "\n")
         print()
-        tf = max(c["test_frames"], 1)
-        row = {
-            "method": method.name, "snr_db": args.snr,
-            "stop_mode": args.stop_mode,
-            "frames": c["test_frames"],
-            "error_frames": c["error_frames"],
-            "fer": c["error_frames"] / tf,
-            "ber": c["error_bits"] / tf / code.n_info,
-            "avg_mp_iters": c["mp_iters"] / tf,
-            "avg_bf_rounds": c["bf_rounds"] / tf,
-            "mbit_s": tf * code.n_info / dt / 1e6,
-            "seconds": dt,
-        }
-        if c["error_frames"] == 0:
-            row["fer_ub95"] = 3.0 / tf  # rule of three
+        row = make_row(partial=False)
         rows = [r for r in rows if rowkey(r) != rowkey(row)] + [row]
         out_path.write_text(json.dumps(rows, indent=1) + "\n")
         print(f"{method.name}: FER {row['fer']:.3e} "
-              f"({c['error_frames']}/{tf})  -> {out_path}")
+              f"({c['error_frames']}/{c['test_frames']})  -> {out_path}")
 
 
 if __name__ == "__main__":
