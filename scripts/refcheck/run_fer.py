@@ -96,6 +96,13 @@ POINTS = (
         (4, 1, 6, 15.0, 6, 2, 13.0, "faid3"),   # 64-QAM mid-waterfall
         (4, 1, 6, 19.2, 8, 1, 13.0, "faid3"),   # 256-QAM mid-waterfall
         (2, 1, 6, 8.2, 4, 3, 13.0, "faid3"),    # 16-QAM, depth 3
+        # Floor-entrance anchors for the remaining BF post-processors
+        # (FAID_DTBF and OMS_DTBF were anchored there in round 4).
+        # OMS_BF's cliff is steeper than the others': 3.9 dB measured
+        # 7.8e-8 (1 error / 12.8M reference frames - hours per decent
+        # error count), so its anchor sits at 3.85 dB (~1e-6).
+        (3, 1, 6, 3.85, 2, 1, 13.0, "faid3"),   # OMS_BF
+        (5, 1, 6, 3.9, 2, 1, 13.0, "faid3"),    # FAID_2B1C
     ]
 )
 
