@@ -154,7 +154,7 @@ def main():
             res = done[rowkey(rr)]
             all_ok &= res["consistent"]
             out_rows.append(res)
-            print(f"{rr['method']:10s} {snr:.1f} dB (cached row)",
+            print(f"{rr['method']:10s} {snr:g} dB (cached row)",
                   flush=True)
             continue
         # Enough errors for the z-test to have teeth; deep points are
@@ -183,7 +183,7 @@ def main():
         res["consistent"] = z is None or abs(z) < args.z_threshold
         all_ok &= res["consistent"]
         out_rows.append(res)
-        print(f"{rr['method']:10s} {snr:.1f} dB f={f1}/{f2} "
+        print(f"{rr['method']:10s} {snr:g} dB f={f1}/{f2} "
               f"mod={res['mod_type']} d={res['depth']} s={res['scale']:g} "
               f"{res['lut']}  "
               f"ref {rr['fer']:.3e}  group {res['group_fer']:.3e} "
@@ -214,7 +214,7 @@ def main():
     ]
     for r in out_rows:
         lines.append(
-            f"| {r['method']} | {r['snr_db']:.1f} | "
+            f"| {r['method']} | {r['snr_db']:g} | "
             f"{r['factor_1']}/{r['factor_2']} | "
             f"{r['mod_type']} | {r['depth']} | {r['scale']:g} | "
             f"{r['lut']} | "

@@ -194,7 +194,7 @@ def main():
                             args.max_rounds, args.seed, mod_type=mod,
                             depth=depth, scale=scale, lut=lut)
             rows = [r for r in rows if rowkey(r) != rowkey(row)] + [row]
-            print(f"{row['method']:10s} {snr:.1f} dB f={f1}/{f2} "
+            print(f"{row['method']:10s} {snr:g} dB f={f1}/{f2} "
                   f"mod={mod} d={depth} s={scale:g} {lut}  "
                   f"FER {row['fer']:.3e} "
                   f"({row['error_frames']}/{row['frames']}) "
